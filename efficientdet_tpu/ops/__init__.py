@@ -1,0 +1,19 @@
+"""Pure detection ops: padding, anchors, box geometry, losses, NMS."""
+
+from .anchors import (anchors_for_image_size, feature_shapes,
+                      generate_cell_anchors, num_anchors_for_image_size,
+                      shift_anchors)
+from .boxes import (BOX_STD, clip_boxes, decode_boxes, encode_boxes,
+                    pairwise_iou)
+from .losses import focal_loss
+from .nms import Detections, batched_nms, greedy_suppression_mask
+from .padding import same_padding, same_padding_1d
+
+__all__ = [
+    "anchors_for_image_size", "feature_shapes", "generate_cell_anchors",
+    "num_anchors_for_image_size", "shift_anchors",
+    "BOX_STD", "clip_boxes", "decode_boxes", "encode_boxes", "pairwise_iou",
+    "focal_loss",
+    "Detections", "batched_nms", "greedy_suppression_mask",
+    "same_padding", "same_padding_1d",
+]

@@ -1,0 +1,97 @@
+"""Focal classification loss + smooth-L1 box regression with anchor matching.
+
+TPU-first reformulation of the reference ``FocalLoss`` (models/losses.py:29-152):
+the reference loops over the batch in Python with boolean fancy indexing — a
+host-serialized, dynamic-shape pattern. Here the whole computation is a single
+fixed-shape expression vmapped over the batch, so XLA fuses it into the
+backward pass with no host sync.
+
+Semantics matched exactly (verified by tests against a numpy oracle):
+  - annotations are (B, M, 5) [x1,y1,x2,y2,label], padded with -1 rows
+    (reference datasets/augmentation.py:80; sentinel filter losses.py:52)
+  - anchor assignment by IoU max over valid GT: < 0.4 negative, >= 0.5
+    positive (one-hot of the argmax GT's label), in-between ignored
+    (losses.py:74-84)
+  - focal BCE, alpha=0.25 gamma=2, probabilities clamped to [1e-4, 1-1e-4],
+    sum normalized by max(num_positives, 1) (losses.py:60,86-104)
+  - smooth-L1 (beta=1/9) on std-normalized deltas, mean over positive
+    anchors x 4 coords (losses.py:108-148)
+  - an image with zero valid GT contributes 0 to both losses (losses.py:54-58)
+  - final losses are means over the batch (losses.py:152)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import boxes as box_ops
+
+
+def _per_image_losses(cls_probs: jnp.ndarray,      # (A, C) sigmoid probabilities
+                      reg_preds: jnp.ndarray,      # (A, 4)
+                      anchors: jnp.ndarray,        # (A, 4)
+                      annotations: jnp.ndarray,    # (M, 5), -1 padded
+                      alpha: float,
+                      gamma: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    num_anchors, num_classes = cls_probs.shape
+    gt_boxes = annotations[:, :4]
+    gt_labels = annotations[:, 4]
+    valid = gt_labels != -1                                   # (M,)
+    num_valid = jnp.sum(valid)
+
+    # IoU against valid GT only: invalid columns forced below any real IoU so
+    # argmax never selects them when a valid GT exists.
+    iou = box_ops.pairwise_iou(anchors, gt_boxes)             # (A, M)
+    iou = jnp.where(valid[None, :], iou, -1.0)
+    iou_max = jnp.max(iou, axis=1)                            # (A,)
+    iou_argmax = jnp.argmax(iou, axis=1)                      # (A,)
+
+    positive = iou_max >= 0.5
+    negative = iou_max < 0.4
+    num_positive = jnp.sum(positive)
+
+    # --- classification: focal BCE on one-hot targets --------------------
+    assigned_label = jnp.clip(gt_labels[iou_argmax], 0, num_classes - 1).astype(jnp.int32)
+    one_hot = jax.nn.one_hot(assigned_label, num_classes, dtype=cls_probs.dtype)
+    # targets: 1 at assigned class for positives, 0 elsewhere for
+    # positives/negatives; ignored anchors (0.4 <= IoU < 0.5) masked out.
+    targets = jnp.where(positive[:, None], one_hot, 0.0)
+    attend = positive | negative                              # (A,) not-ignored
+
+    p = jnp.clip(cls_probs, 1e-4, 1.0 - 1e-4)
+    alpha_factor = jnp.where(targets == 1.0, alpha, 1.0 - alpha)
+    focal_weight = jnp.where(targets == 1.0, 1.0 - p, p)
+    focal_weight = alpha_factor * focal_weight ** gamma
+    bce = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p))
+    cls_loss = jnp.where(attend[:, None], focal_weight * bce, 0.0)
+    cls_loss = jnp.sum(cls_loss) / jnp.maximum(num_positive.astype(p.dtype), 1.0)
+
+    # --- regression: smooth-L1 on positives ------------------------------
+    matched_gt = gt_boxes[iou_argmax]                         # (A, 4)
+    reg_targets = box_ops.encode_boxes(anchors, matched_gt)   # (A, 4)
+    diff = jnp.abs(reg_targets - reg_preds)
+    beta = 1.0 / 9.0
+    smooth_l1 = jnp.where(diff <= beta, 0.5 * 9.0 * diff ** 2, diff - 0.5 * beta)
+    pos_f = positive.astype(smooth_l1.dtype)[:, None]
+    reg_loss = jnp.sum(smooth_l1 * pos_f) / jnp.maximum(
+        4.0 * num_positive.astype(smooth_l1.dtype), 1.0)
+
+    # zero GT -> both losses zero; zero positives -> reg loss zero (already).
+    has_gt = (num_valid > 0).astype(cls_loss.dtype)
+    return cls_loss * has_gt, reg_loss * has_gt
+
+
+def focal_loss(cls_probs: jnp.ndarray,      # (B, A, C)
+               reg_preds: jnp.ndarray,      # (B, A, 4)
+               anchors: jnp.ndarray,        # (A, 4)
+               annotations: jnp.ndarray,    # (B, M, 5)
+               alpha: float = 0.25,
+               gamma: float = 2.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched detection loss -> (cls_loss, reg_loss) scalars (batch means)."""
+    cls_l, reg_l = jax.vmap(
+        lambda c, r, a: _per_image_losses(c, r, anchors, a, alpha, gamma)
+    )(cls_probs, reg_preds, annotations)
+    return jnp.mean(cls_l), jnp.mean(reg_l)

@@ -1,0 +1,371 @@
+"""Unit tests for core ops: padding, anchors, box geometry, loss, NMS.
+
+Oracles are independent numpy implementations derived from the reference
+semantics (see each op's docstring for the reference file:line mapping).
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientdet_tpu.ops import (anchors_for_image_size, batched_nms,
+                                  clip_boxes, decode_boxes, encode_boxes,
+                                  feature_shapes, focal_loss,
+                                  greedy_suppression_mask,
+                                  num_anchors_for_image_size, pairwise_iou,
+                                  same_padding_1d)
+from efficientdet_tpu import config as cfg
+
+
+# ---------------------------------------------------------------- padding
+@pytest.mark.parametrize("size,k,s,expected", [
+    (224, 3, 2, (0, 1)),   # stem conv
+    (224, 5, 2, (1, 2)),
+    (224, 3, 1, (1, 1)),
+    (224, 5, 1, (2, 2)),
+    (224, 1, 1, (0, 0)),
+    (7, 3, 2, (1, 1)),     # odd input
+    (512, 3, 2, (0, 1)),
+])
+def test_same_padding(size, k, s, expected):
+    assert same_padding_1d(size, k, s) == expected
+
+
+def test_same_padding_matches_formula():
+    # brute force vs TF formula for a grid of cases
+    for size in [7, 14, 16, 75, 224, 512]:
+        for k in [1, 3, 5]:
+            for s in [1, 2]:
+                out = math.ceil(size / s)
+                pad = max((out - 1) * s + k - size, 0)
+                assert same_padding_1d(size, k, s) == (pad // 2, pad - pad // 2)
+
+
+# ---------------------------------------------------------------- config
+def test_round_filters_b0_identity():
+    # width 1.0 -> unchanged
+    for f in [32, 16, 24, 40, 80, 112, 192, 320, 1280]:
+        assert cfg.round_filters(f, 1.0) == f
+
+
+def test_round_filters_known_values():
+    # b6: width 1.8
+    assert cfg.round_filters(32, 1.8) == 56
+    assert cfg.round_filters(16, 1.8) == 32   # 28.8 -> 32 (10% rule bumps 24->32)
+    # b2: width 1.1
+    assert cfg.round_filters(32, 1.1) == 32   # 35.2 -> 32 (within 10%)
+    assert cfg.round_filters(80, 1.1) == 88
+
+
+def test_round_repeats():
+    assert cfg.round_repeats(3, 1.0) == 3
+    assert cfg.round_repeats(3, 1.8) == 6     # ceil(5.4)
+    assert cfg.round_repeats(1, 2.6) == 3
+
+
+def test_block_decoder_roundtrip():
+    s = "r2_k5_s22_e6_i24_o40_se0.25"
+    b = cfg.BlockDecoder.decode_block_string(s)
+    assert b.num_repeat == 2 and b.kernel_size == 5 and b.stride == 2
+    assert b.expand_ratio == 6 and b.input_filters == 24 and b.output_filters == 40
+    assert b.se_ratio == 0.25 and b.id_skip
+    assert cfg.BlockDecoder.encode_block_string(b) == s
+    b2 = cfg.BlockDecoder.decode_block_string("r1_k3_s11_e1_i32_o16_noskip")
+    assert not b2.id_skip and b2.se_ratio is None
+
+
+def test_backbone_stage_channels_b0():
+    blocks, gp = cfg.get_model_params("efficientnet-b0")
+    assert [b.output_filters for b in blocks] == [16, 24, 40, 80, 112, 192, 320]
+    assert [b.num_repeat for b in blocks] == [1, 2, 2, 3, 3, 4, 1]
+    # reference's detection-friendly strides: every stage after 1 is stride 2
+    assert [b.stride for b in blocks] == [1, 2, 2, 2, 2, 2, 2]
+
+
+def test_backbone_stage_channels_b6():
+    blocks, _ = cfg.get_model_params("efficientnet-b6")
+    assert [b.output_filters for b in blocks] == [32, 40, 72, 144, 200, 344, 576]
+    assert [b.num_repeat for b in blocks] == [3, 6, 6, 8, 8, 11, 3]
+
+
+# ---------------------------------------------------------------- anchors
+def test_feature_shapes_512():
+    assert feature_shapes(512) == [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4)]
+
+
+def test_anchor_count_512():
+    a = anchors_for_image_size(512)
+    expected = (64 ** 2 + 32 ** 2 + 16 ** 2 + 8 ** 2 + 4 ** 2) * 9
+    assert a.shape == (expected, 4)
+    assert num_anchors_for_image_size(512) == expected
+
+
+def test_anchor_values_oracle():
+    """First cell of P3: centers at (0.5*8, 0.5*8), ratio-major/scale-minor."""
+    a = anchors_for_image_size(512)
+    base = 32.0  # 2^(3+2)
+    scales = [1.0, 2 ** (1 / 3), 2 ** (2 / 3)]
+    ratios = [0.5, 1.0, 2.0]
+    ctr = 0.5 * 8
+    i = 0
+    for r in ratios:
+        for s in scales:
+            area = (base * s) ** 2
+            w = math.sqrt(area / r)
+            h = w * r
+            np.testing.assert_allclose(
+                a[i], [ctr - w / 2, ctr - h / 2, ctr + w / 2, ctr + h / 2],
+                rtol=1e-5)
+            i += 1
+    # second anchor cell is one stride to the right (x-minor ordering)
+    np.testing.assert_allclose(a[9][0] - a[0][0], 8.0, rtol=1e-6)
+
+
+def test_anchor_level_offsets():
+    """P4 block starts right after P3's 64*64*9 anchors, centered at stride 16."""
+    a = anchors_for_image_size(512)
+    p4_start = 64 * 64 * 9
+    # ratio 0.5, scale 1: base 64
+    w = math.sqrt((64.0) ** 2 / 0.5)
+    np.testing.assert_allclose(a[p4_start][0], 8 - w / 2, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- boxes
+def _iou_oracle(a, b):
+    out = np.zeros((len(a), len(b)))
+    for i, x in enumerate(a):
+        for j, y in enumerate(b):
+            iw = max(0.0, min(x[2], y[2]) - max(x[0], y[0]))
+            ih = max(0.0, min(x[3], y[3]) - max(x[1], y[1]))
+            inter = iw * ih
+            ua = max((x[2] - x[0]) * (x[3] - x[1])
+                     + (y[2] - y[0]) * (y[3] - y[1]) - inter, 1e-8)
+            out[i, j] = inter / ua
+    return out
+
+
+def test_pairwise_iou():
+    rng = np.random.RandomState(0)
+    a = rng.rand(13, 4) * 100
+    a[:, 2:] += a[:, :2]  # ensure x2>x1, y2>y1
+    b = rng.rand(7, 4) * 100
+    b[:, 2:] += b[:, :2]
+    np.testing.assert_allclose(pairwise_iou(jnp.array(a), jnp.array(b)),
+                               _iou_oracle(a, b), rtol=1e-5, atol=1e-6)
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.RandomState(1)
+    anchors = rng.rand(50, 4).astype(np.float32) * 200
+    anchors[:, 2:] += anchors[:, :2] + 10
+    gt = rng.rand(50, 4).astype(np.float32) * 200
+    gt[:, 2:] += gt[:, :2] + 10
+    deltas = encode_boxes(jnp.array(anchors), jnp.array(gt))
+    rec = decode_boxes(jnp.array(anchors), deltas)
+    np.testing.assert_allclose(rec, gt, rtol=1e-3, atol=1e-2)
+
+
+def test_decode_oracle():
+    """Check against BBoxTransform math (reference models/module.py:24-49)."""
+    anchors = np.array([[10.0, 20.0, 50.0, 80.0]], dtype=np.float32)
+    deltas = np.array([[1.0, -0.5, 0.2, 0.1]], dtype=np.float32)
+    w, h = 40.0, 60.0
+    cx, cy = 30.0, 50.0
+    pcx = cx + 1.0 * 0.1 * w
+    pcy = cy + -0.5 * 0.1 * h
+    pw = math.exp(0.2 * 0.2) * w
+    ph = math.exp(0.1 * 0.2) * h
+    expected = [pcx - pw / 2, pcy - ph / 2, pcx + pw / 2, pcy + ph / 2]
+    np.testing.assert_allclose(
+        decode_boxes(jnp.array(anchors), jnp.array(deltas))[0], expected,
+        rtol=1e-5)
+
+
+def test_clip_boxes_reference_semantics():
+    boxes = jnp.array([[-5.0, -3.0, 600.0, 700.0], [10.0, 10.0, 20.0, 20.0]])
+    out = clip_boxes(boxes, height=512, width=512)
+    np.testing.assert_allclose(out[0], [0.0, 0.0, 512.0, 512.0])
+    np.testing.assert_allclose(out[1], [10.0, 10.0, 20.0, 20.0])
+
+
+# ---------------------------------------------------------------- loss
+def _focal_loss_oracle(cls_probs, reg_preds, anchors, annotations,
+                       alpha=0.25, gamma=2.0):
+    """Literal numpy transcription of the reference loss semantics
+    (models/losses.py:29-152) as an independent oracle."""
+    B = cls_probs.shape[0]
+    cls_losses, reg_losses = [], []
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    acx = anchors[:, 0] + 0.5 * aw
+    acy = anchors[:, 1] + 0.5 * ah
+    for j in range(B):
+        cls = np.clip(cls_probs[j], 1e-4, 1 - 1e-4)
+        ann = annotations[j]
+        ann = ann[ann[:, 4] != -1]
+        if len(ann) == 0:
+            cls_losses.append(0.0)
+            reg_losses.append(0.0)
+            continue
+        iou = _iou_oracle(anchors, ann[:, :4])
+        iou_max = iou.max(axis=1)
+        iou_arg = iou.argmax(axis=1)
+        targets = -np.ones_like(cls)
+        targets[iou_max < 0.4] = 0
+        pos = iou_max >= 0.5
+        npos = pos.sum()
+        assigned = ann[iou_arg]
+        targets[pos] = 0
+        targets[pos, assigned[pos, 4].astype(int)] = 1
+        af = np.where(targets == 1, alpha, 1 - alpha)
+        fw = np.where(targets == 1, 1 - cls, cls)
+        fw = af * fw ** gamma
+        bce = -(targets * np.log(cls) + (1 - targets) * np.log(1 - cls))
+        l = np.where(targets != -1, fw * bce, 0)
+        cls_losses.append(l.sum() / max(npos, 1.0))
+        if npos > 0:
+            asg = assigned[pos]
+            gw = np.maximum(asg[:, 2] - asg[:, 0], 1)
+            gh = np.maximum(asg[:, 3] - asg[:, 1], 1)
+            gcx = asg[:, 0] + 0.5 * (asg[:, 2] - asg[:, 0])
+            gcy = asg[:, 1] + 0.5 * (asg[:, 3] - asg[:, 1])
+            t = np.stack([(gcx - acx[pos]) / aw[pos],
+                          (gcy - acy[pos]) / ah[pos],
+                          np.log(gw / aw[pos]),
+                          np.log(gh / ah[pos])], axis=1)
+            t = t / np.array([0.1, 0.1, 0.2, 0.2])
+            d = np.abs(t - reg_preds[j][pos])
+            rl = np.where(d <= 1 / 9, 0.5 * 9 * d ** 2, d - 0.5 / 9)
+            reg_losses.append(rl.mean())
+        else:
+            reg_losses.append(0.0)
+    return np.mean(cls_losses), np.mean(reg_losses)
+
+
+def _random_loss_inputs(seed, B=3, A=200, C=7, M=6, empty_image=False):
+    rng = np.random.RandomState(seed)
+    # anchors tiled on a small grid so some GT overlaps properly
+    xs = np.linspace(0, 400, 20)
+    anchors = []
+    for x in xs:
+        for y in xs[:10]:
+            anchors.append([x, y, x + 40, y + 40])
+    anchors = np.array(anchors[:A], dtype=np.float32)
+    cls = rng.rand(B, A, C).astype(np.float32)
+    reg = rng.randn(B, A, 4).astype(np.float32)
+    ann = -np.ones((B, M, 5), dtype=np.float32)
+    for b in range(B):
+        if empty_image and b == 0:
+            continue
+        n = rng.randint(1, M)
+        for i in range(n):
+            # place GT near anchors so some match with IoU >= 0.5
+            base = anchors[rng.randint(A)]
+            jitter = rng.randn(4) * 3
+            box = base + jitter
+            ann[b, i, :4] = [min(box[0], box[2] - 5), min(box[1], box[3] - 5),
+                             max(box[2], box[0] + 5), max(box[3], box[1] + 5)]
+            ann[b, i, 4] = rng.randint(C)
+    return cls, reg, anchors, ann
+
+
+@pytest.mark.parametrize("seed,empty", [(0, False), (1, False), (2, True)])
+def test_focal_loss_matches_oracle(seed, empty):
+    cls, reg, anchors, ann = _random_loss_inputs(seed, empty_image=empty)
+    got_c, got_r = jax.jit(focal_loss)(jnp.array(cls), jnp.array(reg),
+                                       jnp.array(anchors), jnp.array(ann))
+    exp_c, exp_r = _focal_loss_oracle(cls, reg, anchors, ann)
+    np.testing.assert_allclose(got_c, exp_c, rtol=2e-4)
+    np.testing.assert_allclose(got_r, exp_r, rtol=2e-4, atol=1e-6)
+
+
+def test_focal_loss_all_empty_is_zero():
+    cls, reg, anchors, _ = _random_loss_inputs(3)
+    ann = -np.ones((cls.shape[0], 5, 5), dtype=np.float32)
+    c, r = focal_loss(jnp.array(cls), jnp.array(reg), jnp.array(anchors),
+                      jnp.array(ann))
+    assert float(c) == 0.0 and float(r) == 0.0
+
+
+def test_focal_loss_differentiable():
+    cls, reg, anchors, ann = _random_loss_inputs(4)
+
+    def total(c, r):
+        lc, lr = focal_loss(c, r, jnp.array(anchors), jnp.array(ann))
+        return lc + lr
+
+    gc, gr = jax.grad(total, argnums=(0, 1))(jnp.array(cls), jnp.array(reg))
+    assert np.isfinite(np.asarray(gc)).all()
+    assert np.isfinite(np.asarray(gr)).all()
+    assert np.abs(np.asarray(gr)).sum() > 0
+
+
+# ---------------------------------------------------------------- NMS
+def _greedy_nms_oracle(boxes, scores, iou_threshold):
+    """Sequential greedy NMS over score-sorted candidates (torchvision semantics)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if scores[i] <= 0 or suppressed[i]:
+            continue
+        keep.append(i)
+        ious = _iou_oracle(boxes[i:i + 1], boxes)[0]
+        suppressed |= ious > iou_threshold
+        suppressed[i] = True  # self, already kept
+    return keep
+
+
+def test_greedy_suppression_matches_oracle():
+    rng = np.random.RandomState(0)
+    n = 64
+    boxes = rng.rand(n, 4).astype(np.float32) * 100
+    boxes[:, 2:] = boxes[:, :2] + 5 + rng.rand(n, 2).astype(np.float32) * 60
+    scores = rng.rand(n).astype(np.float32)
+    order = np.argsort(-scores)
+    sboxes, sscores = boxes[order], scores[order]
+    keep = np.asarray(greedy_suppression_mask(jnp.array(sboxes),
+                                              jnp.array(sscores), 0.5))
+    expected = _greedy_nms_oracle(sboxes, sscores, 0.5)
+    assert sorted(np.nonzero(keep)[0].tolist()) == sorted(expected)
+
+
+def test_batched_nms_shapes_and_order():
+    rng = np.random.RandomState(1)
+    B, A, C = 2, 300, 5
+    cls = rng.rand(B, A, C).astype(np.float32) * 0.5
+    boxes = rng.rand(B, A, 4).astype(np.float32) * 100
+    boxes[..., 2:] = boxes[..., :2] + 10
+    det = jax.jit(lambda c, b: batched_nms(c, b, score_threshold=0.05,
+                                           pre_nms_top_k=128,
+                                           max_detections=20))(
+        jnp.array(cls), jnp.array(boxes))
+    assert det.scores.shape == (B, 20)
+    assert det.boxes.shape == (B, 20, 4)
+    s = np.asarray(det.scores)
+    v = np.asarray(det.valid)
+    for b in range(B):
+        vs = s[b][v[b]]
+        assert (np.diff(vs) <= 1e-6).all()          # descending
+        assert (s[b][~v[b]] == -1).all()
+    cl = np.asarray(det.classes)
+    assert ((cl >= 0) | ~v).all()
+
+
+def test_nms_suppresses_duplicates():
+    # two near-identical boxes, one lower score -> only one kept
+    cls = np.zeros((1, 3, 2), dtype=np.float32)
+    cls[0, 0, 1] = 0.9
+    cls[0, 1, 1] = 0.8
+    cls[0, 2, 0] = 0.7
+    boxes = np.array([[[10, 10, 50, 50], [11, 11, 51, 51],
+                       [200, 200, 250, 250]]], dtype=np.float32)
+    det = batched_nms(jnp.array(cls), jnp.array(boxes), score_threshold=0.05,
+                      pre_nms_top_k=3, max_detections=3)
+    v = np.asarray(det.valid[0])
+    assert v.sum() == 2
+    np.testing.assert_allclose(np.asarray(det.scores[0])[:2], [0.9, 0.7])
+    assert np.asarray(det.classes[0])[:2].tolist() == [1, 0]
