@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Inference demo — TPU-native replacement for reference demo.py.
+
+    python demo.py --weight DIR_OR_PTH --file_name img.jpg --output out.png
+    python demo.py --weight DIR_OR_PTH --cam            # webcam loop + FPS
+    python demo.py --weight DIR_OR_PTH --file_name img.jpg --score_threshold 0.4
+
+The whole image->detections path (decode, clip, NMS) runs on device with
+fixed shapes; boxes are mapped back to original-image pixels on the host
+(reference demo.py:71-130).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="EfficientDet-TPU demo")
+    p.add_argument("--weight", required=True,
+                   help="checkpoint dir or reference .pth")
+    p.add_argument("--network", default="efficientdet-d0")
+    p.add_argument("--num_class", type=int, default=20)
+    p.add_argument("--input_size", type=int, default=None)
+    p.add_argument("--file_name", default=None, help="input image path")
+    p.add_argument("--output", default="docs/demo_output.png")
+    p.add_argument("--cam", action="store_true", help="webcam loop")
+    p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--iou_threshold", type=float, default=0.5)
+    p.add_argument("--dataset_classes", default="VOC",
+                   choices=["VOC", "COCO", "none"])
+    return p.parse_args()
+
+
+class Detect:
+    """Loads a checkpoint and serves per-image detection (reference demo.py:36)."""
+
+    def __init__(self, args):
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from efficientdet_tpu import EFFICIENTDET, DetectorConfig
+        from efficientdet_tpu.models import EfficientDet
+        from efficientdet_tpu.train import make_eval_step
+        from efficientdet_tpu.utils import checkpoint as ckpt
+
+        input_size = (args.input_size
+                      or EFFICIENTDET[args.network]["input_size"])
+        saved = (ckpt.load_config(args.weight)
+                 if os.path.isdir(args.weight) else None)
+        cfg = saved or DetectorConfig(num_classes=args.num_class,
+                                      network=args.network,
+                                      input_size=input_size)
+        cfg = dataclasses.replace(cfg.resolve(),
+                                  threshold=args.score_threshold,
+                                  iou_threshold=args.iou_threshold)
+        self.cfg = cfg
+        model = EfficientDet(config=cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))
+        self.variables = ckpt.load_weights(args.weight, dict(variables))
+        self._step = jax.jit(make_eval_step(model, cfg))
+        self._jnp = jnp
+
+        if args.dataset_classes == "VOC":
+            from efficientdet_tpu.data import VOC_CLASSES
+            self.label_names = list(VOC_CLASSES)
+        else:
+            self.label_names = None
+
+    def process(self, img_rgb01: np.ndarray):
+        """img (H, W, 3) float32 RGB in [0,1] -> (boxes, labels, scores) in
+        original-image pixels."""
+        from efficientdet_tpu.data import eval_transforms
+        sample = eval_transforms(self.cfg.input_size)(
+            {"img": img_rgb01, "annot": np.zeros((0, 5), np.float32)})
+        det = self._step(self.variables,
+                         self._jnp.asarray(sample["img"][None]))
+        valid = np.asarray(det.valid[0])
+        boxes = np.asarray(det.boxes[0])[valid] / sample["scale"]
+        labels = np.asarray(det.classes[0])[valid]
+        scores = np.asarray(det.scores[0])[valid]
+        return boxes, labels, scores
+
+    def camera(self):
+        import cv2
+        from efficientdet_tpu.utils.visualization import draw_detections
+        cap = cv2.VideoCapture(0)
+        if not cap.isOpened():
+            raise RuntimeError("cannot open webcam")
+        while True:
+            t0 = time.time()
+            ok, frame = cap.read()
+            if not ok:
+                break
+            rgb = frame[:, :, ::-1].astype(np.float32) / 255.0
+            boxes, labels, scores = self.process(rgb)
+            draw_detections(frame, boxes, labels, scores, self.label_names)
+            fps = 1.0 / max(time.time() - t0, 1e-6)
+            cv2.putText(frame, f"FPS: {fps:.1f}", (10, 30),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 0, 255), 2)
+            cv2.imshow("EfficientDet-TPU", frame)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+        cap.release()
+        cv2.destroyAllWindows()
+
+
+def main():
+    args = parse_args()
+    det = Detect(args)
+    if args.cam:
+        det.camera()
+        return
+    if not args.file_name:
+        raise SystemExit("--file_name or --cam required")
+    import cv2
+    img = cv2.imread(args.file_name)
+    if img is None:
+        raise SystemExit(f"cannot read {args.file_name}")
+    rgb = img[:, :, ::-1].astype(np.float32) / 255.0
+    t0 = time.time()
+    boxes, labels, scores = det.process(rgb)
+    print(f"{len(boxes)} detections in {time.time() - t0:.3f}s")
+    for b, l, s in zip(boxes, labels, scores):
+        name = det.label_names[int(l)] if det.label_names else int(l)
+        print(f"  {name}: {s:.3f} @ {[round(float(v), 1) for v in b]}")
+    from efficientdet_tpu.utils.visualization import draw_detections
+    out = draw_detections(img.copy(), boxes, labels, scores, det.label_names)
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    cv2.imwrite(args.output, out)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+"""Model zoo: EfficientNet backbone, BiFPN neck, RetinaHead, EfficientDet."""
+
+from .bifpn import BiFPN, BiFPNModule
+from .detector import (EfficientDet, anchors_for_config, detection_loss,
+                       postprocess_detections)
+from .efficientnet import (EfficientNetFeatures, MBConvBlock,
+                           backbone_feature_channels)
+from .retina_head import RetinaHead, bias_init_with_prob
+
+__all__ = [
+    "BiFPN", "BiFPNModule",
+    "EfficientDet", "anchors_for_config", "detection_loss",
+    "postprocess_detections",
+    "EfficientNetFeatures", "MBConvBlock", "backbone_feature_channels",
+    "RetinaHead", "bias_init_with_prob",
+]

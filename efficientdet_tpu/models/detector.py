@@ -1,0 +1,107 @@
+"""EfficientDet assembly: backbone -> BiFPN -> RetinaHead, plus the pure
+train-loss and detection post-processing entry points.
+
+Parity with reference models/efficientdet.py:22-100, redesigned functionally:
+the reference's dual-mode ``forward`` (training returns losses, eval runs NMS,
+batch-1 only) becomes a pure model apply returning (cls_probs, box_deltas)
+plus two pure functions — ``detection_loss`` and ``postprocess_detections`` —
+that jit/vmap/shard cleanly and support any batch size.
+
+Anchors are baked in as compile-time constants (ops/anchors.py) instead of the
+reference's per-step host numpy regeneration (models/module.py:161-180).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import DetectorConfig
+from ..ops import anchors as anchor_ops
+from ..ops import boxes as box_ops
+from ..ops import losses as loss_ops
+from ..ops import nms as nms_ops
+from .bifpn import BiFPN
+from .efficientnet import EfficientNetFeatures, backbone_feature_channels
+from .retina_head import RetinaHead
+
+Dtype = Any
+
+
+class EfficientDet(nn.Module):
+    """The detector network. __call__(images NHWC) -> (cls_probs, box_deltas).
+
+    cls_probs: (B, A_total, num_classes) post-sigmoid, float32
+    box_deltas: (B, A_total, 4) float32
+    """
+
+    config: DetectorConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config.resolve()
+        self._cfg = cfg
+        self.backbone = EfficientNetFeatures(
+            model_name=cfg.backbone_name, bn_mode=cfg.bn_mode,
+            bn_axis_name="data" if cfg.bn_mode == "sync" else None,
+            dtype=self.dtype, remat=self.remat, name="backbone")
+        in_channels = backbone_feature_channels(cfg.backbone_name)[-5:]
+        self.neck = BiFPN(in_channels=in_channels, out_channels=cfg.W_bifpn,
+                          stack=cfg.D_bifpn, dtype=self.dtype, name="neck")
+        self.head = RetinaHead(
+            num_classes=cfg.num_classes, in_channels=cfg.W_bifpn,
+            feat_channels=cfg.head_feat_channels,
+            stacked_convs=cfg.head_stacked_convs,
+            num_anchors=cfg.num_anchors_per_cell,
+            dtype=self.dtype, name="head")
+
+    def __call__(self, images: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        features = self.backbone(images.astype(self.dtype), train)
+        pyramid = self.neck(features[-5:])
+        cls_probs, box_deltas = self.head(pyramid)
+        return cls_probs.astype(jnp.float32), box_deltas.astype(jnp.float32)
+
+    def extract_features(self, images: jnp.ndarray,
+                         train: bool = False) -> List[jnp.ndarray]:
+        """Backbone+neck pyramid (reference extract_feat, efficientdet.py:94-100)."""
+        features = self.backbone(images.astype(self.dtype), train)
+        return self.neck(features[-5:])
+
+
+def anchors_for_config(cfg: DetectorConfig) -> jnp.ndarray:
+    """(A_total, 4) anchor constant for the configured input size."""
+    cfg = cfg.resolve()
+    return jnp.asarray(anchor_ops.anchors_for_image_size(
+        cfg.input_size, tuple(cfg.pyramid_levels), tuple(cfg.anchor_ratios),
+        tuple(cfg.anchor_scales)))
+
+
+def detection_loss(cls_probs: jnp.ndarray, box_deltas: jnp.ndarray,
+                   anchors: jnp.ndarray, annotations: jnp.ndarray,
+                   cfg: DetectorConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cls_loss, reg_loss) — the training objective (reference losses.py)."""
+    return loss_ops.focal_loss(cls_probs, box_deltas, anchors, annotations,
+                               alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)
+
+
+def postprocess_detections(cls_probs: jnp.ndarray, box_deltas: jnp.ndarray,
+                           anchors: jnp.ndarray, cfg: DetectorConfig,
+                           score_threshold: Optional[float] = None,
+                           iou_threshold: Optional[float] = None
+                           ) -> nms_ops.Detections:
+    """decode -> clip -> batched fixed-shape NMS (reference efficientdet.py:70-86)."""
+    cfg = cfg.resolve()
+    boxes = box_ops.decode_boxes(anchors, box_deltas)
+    boxes = box_ops.clip_boxes(boxes, cfg.input_size, cfg.input_size)
+    return nms_ops.batched_nms(
+        cls_probs, boxes,
+        score_threshold=(cfg.threshold if score_threshold is None
+                         else score_threshold),
+        iou_threshold=(cfg.iou_threshold if iou_threshold is None
+                       else iou_threshold),
+        pre_nms_top_k=cfg.pre_nms_top_k,
+        max_detections=cfg.max_detections)

@@ -1,0 +1,154 @@
+"""Shared NN building blocks (NHWC, static shapes, TPU-friendly).
+
+Replaces reference models/utils.py (SAME-pad convs, swish) and
+models/module.py:276-516 (ConvModule, norm registry). Key TPU-first choices:
+
+- NHWC everywhere: the channels-last layout is what XLA:TPU tiles best onto
+  the MXU/VPU; it also removes the reference head's permute+reshape dance
+  (models/retinahead.py:120-128) — flattening NHWC is already anchor-order.
+- SAME padding is a compile-time constant handed to the conv op (see
+  ops/padding.py) — no runtime shape inspection.
+- BatchNorm supports the reference's frozen semantics (running stats used in
+  training too — models/efficientdet.py:54,88-92) plus trainable and
+  cross-replica ("SyncBN", models/module.py:352-358) modes; the sync variant
+  averages batch stats over the mesh data axis via BatchNorm's axis_name.
+- MemoryEfficientSwish (models/utils.py:31-47, a hand-written autograd
+  backward to save memory) is unnecessary under XLA: swish is jax.nn.silu and
+  rematerialization is handled by jax.checkpoint at the block level.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.padding import same_padding
+
+Dtype = Any
+
+# Reference init: normal(0, sqrt(2/n)), n = kh*kw*out (efficientdet.py:47-50).
+he_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+class ConvSame(nn.Module):
+    """2D conv with static TF-SAME padding (reference Conv2dStaticSamePadding).
+
+    `nominal_size` is the image size the padding is derived from — the
+    backbone uses the ImageNet resolution from GlobalParams (the reference's
+    quirk, models/utils.py:126-149), everything else uses symmetric torch-style
+    padding via `torch_padding`.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    nominal_size: Optional[int] = None    # TF-SAME from this size
+    torch_padding: Optional[int] = None   # symmetric pad (torch Conv2d style)
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = he_normal_fan_out
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.nominal_size is not None:
+            padding: Any = same_padding(self.nominal_size, self.kernel_size,
+                                        self.stride)
+        elif self.torch_padding is not None:
+            p = (self.torch_padding, self.torch_padding)
+            padding = (p, p)
+        else:
+            padding = ((0, 0), (0, 0))
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=padding,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with frozen / train / sync modes.
+
+    - frozen: always normalize with running stats (reference freeze_bn +
+      train.py:102 — BN stats never update during training)
+    - train:  standard BN (stats update when `train=True`)
+    - sync:   like train, but batch stats are averaged across `axis_name`
+      (the mesh data axis) — the reference's latent SyncBN capability.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    mode: str = "frozen"
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if self.mode == "frozen":
+            use_running_average = True
+        elif self.mode in ("train", "sync"):
+            use_running_average = not train
+        else:
+            raise ValueError(f"unknown bn mode: {self.mode}")
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            axis_name=self.axis_name if self.mode == "sync" else None,
+            name="bn",
+        )(x)
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(x) (reference models/utils.py:31-52)."""
+    return jax.nn.silu(x)
+
+
+def drop_connect(x: jnp.ndarray, rng: jax.Array, rate: float) -> jnp.ndarray:
+    """Stochastic depth: drop the whole residual per sample, rescale survivors.
+
+    Matches reference models/utils.py:79-90: binary = floor(keep + U[0,1)),
+    out = x / keep * binary.
+    """
+    keep = 1.0 - rate
+    batch = x.shape[0]
+    u = jax.random.uniform(rng, (batch,) + (1,) * (x.ndim - 1), dtype=x.dtype)
+    binary = jnp.floor(keep + u)
+    return x / keep * binary
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC nearest-neighbor x2 (reference F.interpolate, bifpn.py:189).
+
+    Implemented as repeat — exact for integer scale and cheap on the VPU.
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC 2x2/2 VALID max pool (reference F.max_pool2d(x, 2), bifpn.py:195)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID")
+
+
+def max_pool_1x1_stride2(x: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 subsample (reference F.max_pool2d(x, 1, stride=2), bifpn.py:116)."""
+    return x[:, ::2, ::2, :]

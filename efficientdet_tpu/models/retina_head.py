@@ -1,0 +1,83 @@
+"""RetinaNet-style shared classification + regression head (flax.linen, NHWC).
+
+Parity with reference models/retinahead.py:16-132:
+- two subnets of `stacked_convs` 3x3 conv+bias+ReLU layers (no norm)
+- final 3x3 convs to num_anchors*num_classes (sigmoid) and num_anchors*4
+- weights shared across pyramid levels (applied per level)
+- per-level outputs flattened to (B, H*W*A, C) / (B, H*W*A, 4)
+
+The NHWC layout makes the reference's permute+view dance
+(retinahead.py:120-128) a plain reshape: (B,H,W,A*C) is already in
+(y, x, anchor) order, matching ops/anchors.py.
+
+Init follows the RetinaNet recipe the reference *defines* but never calls
+(retinahead.py:100-107 — EfficientDet.__init__ clobbers it with He-normal,
+a documented reference bug, SURVEY.md section 3.4): conv weights
+normal(std=0.01), classification bias set so initial P(fg) = prior_prob —
+essential for focal-loss stability.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvSame
+
+Dtype = Any
+
+
+def bias_init_with_prob(prior_prob: float) -> float:
+    """Bias such that sigmoid(bias) = prior_prob (reference models/module.py:556-559)."""
+    return float(-math.log((1 - prior_prob) / prior_prob))
+
+
+class RetinaHead(nn.Module):
+    num_classes: int
+    in_channels: int
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_anchors: int = 9
+    prior_prob: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        normal01 = nn.initializers.normal(stddev=0.01)
+        cls_convs = [ConvSame(self.feat_channels, 3, torch_padding=1,
+                              dtype=self.dtype, kernel_init=normal01,
+                              name=f"cls_conv_{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [ConvSame(self.feat_channels, 3, torch_padding=1,
+                              dtype=self.dtype, kernel_init=normal01,
+                              name=f"reg_conv_{i}")
+                     for i in range(self.stacked_convs)]
+        retina_cls = nn.Conv(
+            self.num_anchors * self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, param_dtype=jnp.float32, kernel_init=normal01,
+            bias_init=nn.initializers.constant(
+                bias_init_with_prob(self.prior_prob)),
+            name="retina_cls")
+        retina_reg = nn.Conv(
+            self.num_anchors * 4, (3, 3), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, param_dtype=jnp.float32, kernel_init=normal01,
+            name="retina_reg")
+
+        cls_outs, reg_outs = [], []
+        for x in feats:
+            b = x.shape[0]
+            cls_feat = x
+            reg_feat = x
+            for conv in cls_convs:
+                cls_feat = nn.relu(conv(cls_feat))
+            for conv in reg_convs:
+                reg_feat = nn.relu(conv(reg_feat))
+            cls = jax.nn.sigmoid(retina_cls(cls_feat))
+            cls_outs.append(cls.reshape(b, -1, self.num_classes))
+            reg_outs.append(retina_reg(reg_feat).reshape(b, -1, 4))
+        return jnp.concatenate(cls_outs, axis=1), jnp.concatenate(reg_outs, axis=1)

@@ -1,0 +1,193 @@
+"""Training library: train state, optimizer, jitted train/eval steps.
+
+Replaces reference train.py:95-152, 260-291 with a functional TPU design:
+
+- AdamW (lr 1e-4 default) + global-norm clip 0.1 + gradient accumulation
+  (optax.MultiSteps), matching reference train.py:104-118, 268-270
+- ReduceLROnPlateau(factor=0.1, patience=3) via inject_hyperparams — the LR
+  lives in the optimizer state and is rescaled on the host at epoch
+  boundaries (reference train.py:270, 289)
+- the train step is ONE jitted pure function: forward, vectorized loss,
+  backward, clip, update. Under a data-sharded mesh the gradient allreduce is
+  inserted by XLA (no DDP wrapper, no NCCL; SURVEY.md section 5 comm-backend
+  note)
+- BN modes: 'frozen' (reference semantics — stats never update), 'train'
+  (stats update over the GLOBAL logical batch, which under jit+sharding is
+  already cross-replica synchronized, i.e. SyncBN for free).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import DetectorConfig
+from ..models.detector import (EfficientDet, anchors_for_config,
+                               detection_loss, postprocess_detections)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt_state)
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    learning_rate: float = 1e-4          # reference train.py:268 AdamW lr
+    weight_decay: float = 1e-2           # torch AdamW default
+    grad_clip_norm: float = 0.1          # reference train.py:117
+    grad_accumulation_steps: int = 1     # reference train.py:115
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.learning_rate, b1=cfg.b1, b2=cfg.b2,
+            weight_decay=cfg.weight_decay),
+    )
+    if cfg.grad_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accumulation_steps)
+    return tx
+
+
+def _inner_opt_state(opt_state):
+    """The inject_hyperparams state, whether or not MultiSteps wraps it."""
+    if isinstance(opt_state, optax.MultiStepsState):
+        return opt_state.inner_opt_state[1]
+    return opt_state[1]
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(_inner_opt_state(opt_state).hyperparams["learning_rate"])
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Rewrite the injected LR inside an opt_state pytree (host-side)."""
+    inner = _inner_opt_state(opt_state)
+    inner.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=inner.hyperparams["learning_rate"].dtype)
+    return opt_state
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau with torch semantics (reference train.py:270):
+    mode=min, threshold-less; shrink LR by `factor` after `patience` epochs
+    without improvement."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 3,
+                 min_lr: float = 0.0):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+            return lr
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            return max(lr * self.factor, self.min_lr)
+        return lr
+
+
+def create_train_state(model: EfficientDet, rng: jax.Array, input_size: int,
+                       opt_cfg: Optional[OptimizerConfig] = None,
+                       batch_size: int = 1) -> TrainState:
+    variables = model.init(rng, jnp.zeros((batch_size, input_size,
+                                           input_size, 3), jnp.float32))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(opt_cfg or OptimizerConfig())
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats,
+                      opt_state=tx.init(params), tx=tx)
+
+
+def make_train_step(model: EfficientDet, cfg: DetectorConfig
+                    ) -> Callable[[TrainState, Dict, jax.Array],
+                                  Tuple[TrainState, Dict]]:
+    """Build the pure (state, batch, rng) -> (state, metrics) train step."""
+    cfg = cfg.resolve()
+    anchors = anchors_for_config(cfg)
+    bn_mutable = cfg.bn_mode in ("train", "sync")
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if bn_mutable:
+                (cls_probs, box_deltas), new_state = model.apply(
+                    variables, batch["images"], True,
+                    rngs={"dropout": step_rng}, mutable=["batch_stats"])
+            else:
+                cls_probs, box_deltas = model.apply(
+                    variables, batch["images"], True,
+                    rngs={"dropout": step_rng})
+                new_state = {}
+            cls_loss, reg_loss = detection_loss(
+                cls_probs, box_deltas, anchors, batch["annotations"], cfg)
+            total = cls_loss + reg_loss
+            return total, (cls_loss, reg_loss, new_state)
+
+        grads, (cls_loss, reg_loss, new_model_state) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        if bn_mutable:
+            new_state = new_state.replace(
+                batch_stats=new_model_state["batch_stats"])
+        metrics = {"loss": cls_loss + reg_loss, "cls_loss": cls_loss,
+                   "reg_loss": reg_loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: EfficientDet, cfg: DetectorConfig):
+    """(variables, images) -> Detections, fully on device."""
+    cfg = cfg.resolve()
+    anchors = anchors_for_config(cfg)
+
+    def eval_step(variables, images):
+        cls_probs, box_deltas = model.apply(variables, images)
+        return postprocess_detections(cls_probs, box_deltas, anchors, cfg)
+
+    return eval_step
+
+
+def make_loss_step(model: EfficientDet, cfg: DetectorConfig):
+    """(variables, batch) -> (cls_loss, reg_loss); the reference test() loop
+    (train.py:141-152) evaluates val loss in train formulation."""
+    cfg = cfg.resolve()
+    anchors = anchors_for_config(cfg)
+
+    def loss_step(variables, batch):
+        cls_probs, box_deltas = model.apply(variables, batch["images"])
+        return detection_loss(cls_probs, box_deltas, anchors,
+                              batch["annotations"], cfg)
+
+    return loss_step

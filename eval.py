@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Evaluation driver — TPU-native replacement for reference eval.py.
+
+    python eval.py --dataset VOC --dataset_root ~/data/VOCdevkit --weight DIR
+    python eval.py --dataset COCO --dataset_root ~/data/coco --weight ckpt.pth
+    python eval.py --dataset synthetic --weight DIR     # offline smoke eval
+
+`--weight` accepts a native checkpoint directory or a reference `.pth` blob.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="EfficientDet-TPU evaluation")
+    p.add_argument("--dataset", default="VOC",
+                   choices=["VOC", "COCO", "synthetic"])
+    p.add_argument("--dataset_root", default="/root/data/VOCdevkit/")
+    p.add_argument("--weight", required=True)
+    p.add_argument("--network", default="efficientdet-d0")
+    p.add_argument("--num_class", type=int, default=None)
+    p.add_argument("--input_size", type=int, default=None)
+    p.add_argument("--threshold", type=float, default=0.05,
+                   help="score threshold (reference eval uses 0.05)")
+    p.add_argument("--iou_threshold", type=float, default=0.5,
+                   help="NMS IoU threshold")
+    p.add_argument("--eval_iou", type=float, default=0.5,
+                   help="VOC matching IoU")
+    p.add_argument("--max_detections", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--results_json", default=None,
+                   help="COCO: write results JSON here")
+    p.add_argument("--synthetic_length", type=int, default=16)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from efficientdet_tpu import EFFICIENTDET, DetectorConfig
+    from efficientdet_tpu.data import (CocoDataset, SyntheticDetection,
+                                       VOCDetection, eval_transforms)
+    from efficientdet_tpu.eval import (CocoEvaluator, evaluate_model,
+                                       write_coco_results)
+    from efficientdet_tpu.models import EfficientDet
+    from efficientdet_tpu.train import make_eval_step
+    from efficientdet_tpu.utils import checkpoint as ckpt
+
+    input_size = args.input_size or EFFICIENTDET[args.network]["input_size"]
+    tf = eval_transforms(input_size)
+    if args.dataset == "VOC":
+        dataset = VOCDetection(args.dataset_root,
+                               image_sets=[("2007", "test")], transform=tf)
+    elif args.dataset == "COCO":
+        dataset = CocoDataset(args.dataset_root, set_name="val2017",
+                              transform=tf)
+    else:
+        dataset = SyntheticDetection(length=args.synthetic_length,
+                                     image_size=input_size, num_classes=20,
+                                     transform=tf)
+    num_classes = args.num_class or dataset.num_classes()
+
+    saved_cfg = (ckpt.load_config(args.weight)
+                 if os.path.isdir(args.weight) else None)
+    cfg = saved_cfg or DetectorConfig(num_classes=num_classes,
+                                      network=args.network,
+                                      input_size=input_size)
+    if saved_cfg is not None:
+        num_classes = saved_cfg.num_classes  # model defines the class space
+    cfg = cfg.resolve()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, threshold=args.threshold,
+                              iou_threshold=args.iou_threshold,
+                              max_detections=args.max_detections)
+
+    model = EfficientDet(config=cfg,
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))
+    variables = ckpt.load_weights(args.weight, dict(variables))
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    eval_fn = lambda images: eval_step(variables, jnp.asarray(images))
+
+    if args.dataset in ("VOC", "synthetic"):
+        mean_ap, _ = evaluate_model(
+            dataset, eval_fn, num_classes, batch_size=args.batch_size,
+            iou_threshold=args.eval_iou, score_threshold=args.threshold,
+            max_detections=args.max_detections)
+        print(f"mAP@{args.eval_iou}: {mean_ap:.4f}")
+        return
+
+    # COCO path: accumulate + COCO metrics; optionally write results JSON
+    evaluator = CocoEvaluator(num_classes, max_dets=args.max_detections)
+    image_ids, dets_for_json = [], []
+    n = len(dataset)
+    bs = args.batch_size
+    for start in range(0, n, bs):
+        idx = list(range(start, min(start + bs, n)))
+        samples = [dataset[i] for i in idx]
+        images = np.stack([s["img"] for s in samples]).astype(np.float32)
+        if len(idx) < bs:
+            images = np.concatenate(
+                [images, np.zeros((bs - len(idx),) + images.shape[1:],
+                                  np.float32)])
+        det = eval_fn(images)
+        for j, i in enumerate(idx):
+            valid = np.asarray(det.valid[j])
+            boxes = np.asarray(det.boxes[j])[valid] / samples[j]["scale"]
+            scores = np.asarray(det.scores[j])[valid]
+            classes = np.asarray(det.classes[j])[valid]
+            gts = dataset.load_annotations(i)
+            evaluator.add_image(
+                np.concatenate([boxes, scores[:, None]], axis=1), classes,
+                gts[:, :4], gts[:, 4].astype(int))
+            if args.results_json:
+                image_ids.append(dataset.image_ids[i])
+                dets_for_json.append({"boxes": boxes, "scores": scores,
+                                      "classes": classes})
+        print(f"{min(start + bs, n)}/{n}", end="\r")
+    print()
+    stats = evaluator.summarize()
+    if args.results_json:
+        write_coco_results(args.results_json, image_ids, dets_for_json,
+                           dataset.label_to_coco_label)
+        print(f"wrote {args.results_json}")
+        try:
+            from pycocotools.coco import COCO  # optional official bridge
+            from efficientdet_tpu.eval import evaluate_coco_with_pycocotools
+            ann = os.path.join(args.dataset_root, "annotations",
+                               "instances_val2017.json")
+            evaluate_coco_with_pycocotools(COCO(ann), args.results_json,
+                                           image_ids)
+        except ImportError:
+            pass
+    print({k: round(v, 4) for k, v in stats.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Numerical parity vs the PyTorch reference.
+
+Builds the reference modules (random init, CPU, no downloads) via importlib,
+exports their state_dict, imports it into the flax model with
+utils/torch_import.py, and compares forward outputs on random input.
+
+This pins down: SAME-padding semantics, BN math, swish, SE, BiFPN fusion
+(incl. the double-normalization quirk), head reshape/anchor ordering, and the
+OIHW->HWIO weight conversion — i.e. everything needed for reference
+checkpoints to predict identically on TPU.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from efficientdet_tpu import DetectorConfig
+from efficientdet_tpu.models import EfficientDet
+from efficientdet_tpu.utils import torch_import
+
+REF = "/root/reference"
+SIZE = 128
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _highest_precision():
+    """XLA:CPU's default conv precision differs from torch by ~1e-3; force
+    full f32 so parity is checked at ~1e-6."""
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", None)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Load reference model modules without the package __init__ (which pulls
+    in torchvision, absent here)."""
+    if "models" not in sys.modules or not hasattr(sys.modules.get("models"), "__path__"):
+        pkg = types.ModuleType("models")
+        pkg.__path__ = [f"{REF}/models"]
+        sys.modules["models"] = pkg
+
+    def load(name, path):
+        if name in sys.modules:
+            return sys.modules[name]
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("models.utils", f"{REF}/models/utils.py")
+    load("models.module", f"{REF}/models/module.py")
+    effnet = load("models.efficientnet", f"{REF}/models/efficientnet.py")
+    bifpn = load("models.bifpn", f"{REF}/models/bifpn.py")
+    retina = load("models.retinahead", f"{REF}/models/retinahead.py")
+    return effnet, bifpn, retina
+
+
+def _randomize_bn_stats(module, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0.0, 0.5, generator=g)
+            m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+@pytest.fixture(scope="module")
+def torch_d0(ref_modules):
+    effnet, bifpn, retina = ref_modules
+    torch.manual_seed(0)
+    backbone = effnet.EfficientNet.from_name("efficientnet-b0")
+    neck = bifpn.BIFPN(in_channels=backbone.get_list_features()[-5:],
+                       out_channels=64, stack=2, num_outs=5)
+    head = retina.RetinaHead(num_classes=20, in_channels=64)
+    for m in (backbone, neck, head):
+        m.eval()
+    _randomize_bn_stats(backbone)
+    return backbone, neck, head
+
+
+@pytest.fixture(scope="module")
+def jax_d0(torch_d0):
+    backbone, neck, head = torch_d0
+    cfg = DetectorConfig(num_classes=20, network="efficientdet-d0",
+                         input_size=SIZE).resolve()
+    model = EfficientDet(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, SIZE, SIZE, 3)))
+    variables = jax.tree.map(np.asarray, variables)  # mutable numpy tree
+
+    state = {}
+    for prefix, mod in (("backbone", backbone), ("neck", neck),
+                        ("bbox_head", head)):
+        for k, v in mod.state_dict().items():
+            state[f"{prefix}.{k}"] = v
+    # num_batches_tracked has no flax counterpart
+    state = {k: v for k, v in state.items() if "num_batches_tracked" not in k}
+    variables = torch_import.import_efficientdet(state, variables)
+    return cfg, model, variables
+
+
+def test_backbone_parity(torch_d0, jax_d0):
+    backbone, _, _ = torch_d0
+    _, model, variables = jax_d0
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, SIZE, SIZE, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = backbone(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got_feats = model.apply(variables, jnp.asarray(x),
+                            method=lambda m, im: m.backbone(im, False))
+    assert len(got_feats) == len(ref_feats) == 7
+    for i, (g, r) in enumerate(zip(got_feats, ref_feats)):
+        r = r.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"stage {i}")
+
+
+def test_full_model_parity(torch_d0, jax_d0):
+    backbone, neck, head = torch_d0
+    _, model, variables = jax_d0
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, SIZE, SIZE, 3).astype(np.float32)
+    with torch.no_grad():
+        feats = backbone(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        pyramid = neck([f for f in feats[-5:]])
+        cls_list, reg_list = head(pyramid)
+        ref_cls = torch.cat(list(cls_list), dim=1).numpy()
+        ref_reg = torch.cat(list(reg_list), dim=1).numpy()
+    got_cls, got_reg = model.apply(variables, jnp.asarray(x))
+    assert got_cls.shape == ref_cls.shape
+    assert got_reg.shape == ref_reg.shape
+    np.testing.assert_allclose(np.asarray(got_cls), ref_cls, rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_reg), ref_reg, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_import_rejects_shape_mismatch(jax_d0):
+    _, _, variables = jax_d0
+    bad = {"bbox_head.retina_reg.weight": torch.zeros(36, 999, 3, 3)}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        torch_import.import_efficientdet(bad, variables)
+
+
+def test_strip_module_prefix():
+    sd = {"module.backbone._conv_stem.weight": 1, "plain": 2}
+    out = torch_import.strip_module_prefix(sd)
+    assert set(out) == {"backbone._conv_stem.weight", "plain"}

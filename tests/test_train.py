@@ -1,0 +1,122 @@
+"""Training tests: optimizer wiring, plateau LR, overfit, mesh sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientdet_tpu import DetectorConfig
+from efficientdet_tpu.data import SyntheticDetection, collate, eval_transforms
+from efficientdet_tpu.models import EfficientDet
+from efficientdet_tpu.parallel import (create_mesh, put_batch, put_replicated,
+                                       shard_train_step)
+from efficientdet_tpu.train import (OptimizerConfig, PlateauScheduler,
+                                    create_train_state, get_learning_rate,
+                                    make_loss_step, make_train_step,
+                                    set_learning_rate)
+
+SIZE = 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = DetectorConfig(num_classes=4, network="efficientdet-d0",
+                         input_size=SIZE).resolve()
+    model = EfficientDet(config=cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0), SIZE,
+                               OptimizerConfig(learning_rate=1e-3))
+    ds = SyntheticDetection(length=2, image_size=SIZE, num_classes=4,
+                            max_objects=2, transform=eval_transforms(SIZE),
+                            seed=1)
+    batch = collate([ds[0], ds[1]], max_boxes=8)
+    return cfg, model, state, batch
+
+
+def test_plateau_scheduler_semantics():
+    sch = PlateauScheduler(factor=0.1, patience=2)
+    lr = 1e-4
+    lr = sch.step(1.0, lr)   # improvement (best=1.0)
+    lr = sch.step(2.0, lr)   # bad 1
+    lr = sch.step(2.0, lr)   # bad 2
+    assert lr == 1e-4
+    lr = sch.step(2.0, lr)   # bad 3 > patience -> shrink
+    assert abs(lr - 1e-5) < 1e-12
+    lr = sch.step(0.5, lr)   # new best, no change
+    assert abs(lr - 1e-5) < 1e-12
+
+
+def test_lr_get_set(setup):
+    _, _, state, _ = setup
+    assert abs(get_learning_rate(state.opt_state) - 1e-3) < 1e-9
+    set_learning_rate(state.opt_state, 5e-4)
+    assert abs(get_learning_rate(state.opt_state) - 5e-4) < 1e-9
+    set_learning_rate(state.opt_state, 1e-3)
+
+
+def test_grad_accumulation_state():
+    cfg = DetectorConfig(num_classes=2, network="efficientdet-d0",
+                         input_size=SIZE).resolve()
+    model = EfficientDet(config=cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), SIZE,
+        OptimizerConfig(grad_accumulation_steps=4))
+    assert abs(get_learning_rate(state.opt_state) - 1e-4) < 1e-9
+
+
+def test_train_step_decreases_loss_overfit(setup):
+    cfg, model, state, batch = setup
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(42)
+    batch = jax.device_put(batch)
+    losses = []
+    for i in range(40):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # overfitting 2 fixed images: loss roughly halves within 40 steps
+    assert min(losses[-5:]) < losses[0] * 0.6, (losses[0], losses[-5:])
+    assert float(metrics["grad_norm"]) >= 0
+
+
+def test_multichip_mesh_train_step(setup):
+    cfg, model, _, _ = setup
+    assert len(jax.devices()) == 8, "conftest should force 8 cpu devices"
+    mesh = create_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+
+    state = create_train_state(model, jax.random.PRNGKey(0), SIZE)
+    state = put_replicated(state, mesh)
+    ds = SyntheticDetection(length=8, image_size=SIZE, num_classes=4,
+                            transform=eval_transforms(SIZE))
+    batch = collate([ds[i] for i in range(8)], max_boxes=8)
+    batch = put_batch(batch, mesh)
+    # batch is sharded over 8 devices
+    assert len(batch["images"].sharding.device_set) == 8
+
+    sharded_step = shard_train_step(make_train_step(model, cfg), mesh)
+    state, metrics = sharded_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay replicated after the step
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_mesh_matches_single_device_loss(setup):
+    """Global-batch loss under the 8-way mesh == single-device loss."""
+    cfg, model, state, _ = setup
+    ds = SyntheticDetection(length=8, image_size=SIZE, num_classes=4,
+                            transform=eval_transforms(SIZE), seed=5)
+    batch = collate([ds[i] for i in range(8)], max_boxes=8)
+    loss_step = make_loss_step(model, cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    single = jax.jit(loss_step)(variables, jax.device_put(batch))
+
+    mesh = create_mesh()
+    mb = put_batch(batch, mesh)
+    mv = put_replicated(variables, mesh)
+    meshed = jax.jit(loss_step)(mv, mb)
+    np.testing.assert_allclose(np.asarray(single[0]), np.asarray(meshed[0]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(single[1]), np.asarray(meshed[1]),
+                               rtol=2e-4, atol=1e-6)

@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Training driver — TPU-native replacement for reference train.py.
+
+Flag surface mirrors the reference CLI (train.py:36-90) where meaningful on
+TPU; the DP/DDP/NCCL flags collapse into automatic mesh data-parallelism
+(--num_devices). Run examples:
+
+    python train.py --dataset synthetic --network efficientdet-d0 \
+        --batch_size 8 --num_epoch 2                       # smoke, no data
+    python train.py --dataset VOC --dataset_root ~/data/VOCdevkit \
+        --network efficientdet-d0 --batch_size 32
+    python train.py --resume ./saved/weights/VOC/efficientdet-d0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+# amortize XLA compiles across runs (single-core host)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="EfficientDet-TPU training")
+    p.add_argument("--config", default=None,
+                   help="YAML experiment config (CLI flags override it)")
+    p.add_argument("--dataset", default="VOC",
+                   choices=["VOC", "COCO", "synthetic"])
+    p.add_argument("--dataset_root", default="/root/data/VOCdevkit/")
+    p.add_argument("--network", default="efficientdet-d0")
+    p.add_argument("--num_epoch", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="GLOBAL batch size (sharded over the mesh)")
+    p.add_argument("--num_class", type=int, default=None,
+                   help="default: dataset's class count")
+    p.add_argument("--lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--grad_accumulation_steps", type=int, default=1)
+    p.add_argument("--grad_clip_norm", type=float, default=0.1)
+    p.add_argument("--input_size", type=int, default=None)
+    p.add_argument("--max_boxes", type=int, default=100)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir (or reference .pth) to resume from")
+    p.add_argument("--save_folder", default="./saved/weights/")
+    p.add_argument("--eval_every", type=int, default=5)
+    p.add_argument("--save_every", type=int, default=1)
+    p.add_argument("--bn_mode", default="frozen",
+                   choices=["frozen", "train", "sync"])
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (f32 params)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize MBConv blocks (D5-D7 memory)")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="data-parallel width (default: all devices)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--synthetic_length", type=int, default=64)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace for the first steps")
+    args, _ = p.parse_known_args()
+    if args.config:
+        from efficientdet_tpu.utils.yaml_config import experiment_from_yaml
+        exp = experiment_from_yaml(args.config)
+        p.set_defaults(
+            dataset=exp.dataset, dataset_root=exp.dataset_root,
+            network=exp.detector.network, num_epoch=exp.num_epoch,
+            batch_size=exp.batch_size, num_class=exp.detector.num_classes,
+            lr=exp.learning_rate, weight_decay=exp.weight_decay,
+            grad_accumulation_steps=exp.grad_accumulation_steps,
+            grad_clip_norm=exp.grad_clip_norm,
+            input_size=exp.detector.input_size, max_boxes=exp.max_boxes,
+            save_folder=exp.save_folder, bn_mode=exp.detector.bn_mode,
+            bf16=exp.bf16, remat=exp.remat, seed=exp.seed)
+    return p.parse_args()
+
+
+def build_dataset(args, train: bool, input_size: int):
+    from efficientdet_tpu.data import (CocoDataset, SyntheticDetection,
+                                       VOCDetection, eval_transforms,
+                                       train_transforms)
+    tf = (train_transforms(input_size, seed=args.seed) if train
+          else eval_transforms(input_size))
+    if args.dataset == "VOC":
+        sets = ([("2007", "trainval"), ("2012", "trainval")] if train
+                else [("2007", "test")])
+        avail = [s for s in sets
+                 if os.path.isdir(os.path.join(args.dataset_root, f"VOC{s[0]}"))]
+        return VOCDetection(args.dataset_root, image_sets=avail or sets,
+                            transform=tf)
+    if args.dataset == "COCO":
+        return CocoDataset(args.dataset_root,
+                           set_name="train2017" if train else "val2017",
+                           transform=tf)
+    return SyntheticDetection(length=args.synthetic_length,
+                              image_size=input_size,
+                              num_classes=args.num_class or 20,
+                              transform=None if train else None,
+                              seed=args.seed)
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from efficientdet_tpu import EFFICIENTDET, DetectorConfig
+    from efficientdet_tpu.data import DataLoader
+    from efficientdet_tpu.models import EfficientDet
+    from efficientdet_tpu.parallel import (create_mesh, put_batch,
+                                           put_replicated, shard_train_step)
+    from efficientdet_tpu.train import (OptimizerConfig, PlateauScheduler,
+                                        create_train_state, get_learning_rate,
+                                        make_loss_step, make_train_step,
+                                        set_learning_rate)
+    from efficientdet_tpu.utils import checkpoint as ckpt
+
+    input_size = args.input_size or EFFICIENTDET[args.network]["input_size"]
+    train_ds = build_dataset(args, True, input_size)
+    num_classes = args.num_class or train_ds.num_classes()
+
+    cfg = DetectorConfig(num_classes=num_classes, network=args.network,
+                         input_size=input_size, bn_mode=args.bn_mode).resolve()
+    model = EfficientDet(config=cfg,
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                         remat=args.remat)
+    opt_cfg = OptimizerConfig(
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        grad_clip_norm=args.grad_clip_norm,
+        grad_accumulation_steps=args.grad_accumulation_steps)
+
+    mesh = create_mesh(args.num_devices)
+    n_data = mesh.shape["data"]
+    assert args.batch_size % n_data == 0, \
+        f"global batch {args.batch_size} must divide over {n_data} devices"
+    print(f"devices: {n_data} | global batch: {args.batch_size} "
+          f"| per-device: {args.batch_size // n_data}")
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(model, rng, input_size, opt_cfg)
+    save_dir = os.path.join(args.save_folder, args.dataset, args.network)
+
+    start_epoch = 0
+    if args.resume:
+        if args.resume.endswith((".pth", ".pt")):
+            variables = ckpt.load_weights(
+                args.resume, {"params": jax.tree.map(np.asarray, state.params),
+                              "batch_stats": jax.tree.map(np.asarray,
+                                                          state.batch_stats)})
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+            print(f"imported torch weights from {args.resume}")
+        else:
+            state, start_epoch = ckpt.restore_checkpoint(args.resume, state)
+            print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    state = put_replicated(state, mesh)
+    train_step = shard_train_step(make_train_step(model, cfg), mesh)
+    loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                        max_boxes=args.max_boxes, seed=args.seed)
+    scheduler = PlateauScheduler(factor=0.1, patience=3)
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+
+    global_step = 0
+    for epoch in range(start_epoch, args.num_epoch):
+        t0 = time.time()
+        losses = []
+        for it, batch in enumerate(loader):
+            batch = put_batch(batch, mesh)
+            if args.profile_dir and global_step == 5:
+                jax.profiler.start_trace(args.profile_dir)
+            state, metrics = train_step(state, batch, step_rng)
+            if args.profile_dir and global_step == 10:
+                jax.profiler.stop_trace()
+            global_step += 1
+            if it % args.log_every == 0:
+                m = jax.device_get(metrics)
+                losses.append(float(m["loss"]))
+                print(f"epoch {epoch} it {it}/{len(loader)} "
+                      f"loss {float(m['loss']):.4f} "
+                      f"(cls {float(m['cls_loss']):.4f} "
+                      f"reg {float(m['reg_loss']):.4f}) "
+                      f"lr {get_learning_rate(state.opt_state):.2e}")
+            else:
+                losses.append(float(jax.device_get(metrics["loss"])))
+        epoch_loss = float(np.mean(losses)) if losses else float("nan")
+        dt = time.time() - t0
+        ips = len(loader) * args.batch_size / max(dt, 1e-9)
+        print(f"epoch {epoch} done: loss {epoch_loss:.4f} "
+              f"({dt:.1f}s, {ips:.1f} img/s)")
+        new_lr = scheduler.step(epoch_loss, get_learning_rate(state.opt_state))
+        set_learning_rate(state.opt_state, new_lr)
+        if (epoch + 1) % args.save_every == 0:
+            host_state = jax.device_get(state)
+            path = ckpt.save_checkpoint(save_dir, host_state, cfg, epoch)
+            print(f"saved checkpoint -> {path}")
+
+
+if __name__ == "__main__":
+    main()
