@@ -1,16 +1,19 @@
 """Model zoo: EfficientNet backbone, BiFPN neck, RetinaHead, EfficientDet."""
 
 from .bifpn import BiFPN, BiFPNModule
+from .classifier import EfficientNetClassifier
 from .detector import (EfficientDet, anchors_for_config, detection_loss,
                        postprocess_detections)
 from .efficientnet import (EfficientNetFeatures, MBConvBlock,
                            backbone_feature_channels)
 from .retina_head import RetinaHead, bias_init_with_prob
+from .simple_head import ClassificationSubnet, RegressionSubnet
 
 __all__ = [
-    "BiFPN", "BiFPNModule",
+    "BiFPN", "BiFPNModule", "EfficientNetClassifier",
     "EfficientDet", "anchors_for_config", "detection_loss",
     "postprocess_detections",
     "EfficientNetFeatures", "MBConvBlock", "backbone_feature_channels",
     "RetinaHead", "bias_init_with_prob",
+    "ClassificationSubnet", "RegressionSubnet",
 ]

@@ -117,6 +117,61 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(x)
 
 
+class ConvWS(nn.Module):
+    """Weight-standardized conv (reference ConvWS2d, models/module.py:276-316):
+    kernel standardized per output channel (mean/std over in x kh x kw,
+    eps added to std) before the convolution."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    torch_padding: int = 0
+    use_bias: bool = True
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = he_normal_fan_out
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, in_features, self.features), jnp.float32)
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        std = jnp.std(kernel, axis=(0, 1, 2), keepdims=True)
+        kernel = (kernel - mean) / (std + self.eps)
+        p = (self.torch_padding, self.torch_padding)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride), padding=(p, p),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def build_norm(norm_type: Optional[str], *, momentum: float = 0.99,
+               epsilon: float = 1e-5, num_groups: int = 32,
+               axis_name: Optional[str] = None, dtype: Dtype = jnp.float32,
+               name: str = "norm"):
+    """Norm registry (reference norm_cfg, models/module.py:352-402):
+    'BN' | 'SyncBN' | 'GN' | None. Returns a callable (x, train) -> x."""
+    if norm_type is None:
+        return lambda x, train: x
+    if norm_type in ("BN", "SyncBN"):
+        mode = "sync" if norm_type == "SyncBN" else "train"
+        bn = BatchNorm(momentum=momentum, epsilon=epsilon, mode=mode,
+                       axis_name=axis_name, dtype=dtype, name=name)
+        return bn
+    if norm_type == "GN":
+        gn = nn.GroupNorm(num_groups=num_groups, epsilon=epsilon,
+                          dtype=dtype, param_dtype=jnp.float32, name=name)
+        return lambda x, train: gn(x)
+    raise KeyError(f"Unrecognized norm type {norm_type}")
+
+
 def drop_connect(x: jnp.ndarray, rng: jax.Array, rate: float) -> jnp.ndarray:
     """Stochastic depth: drop the whole residual per sample, rescale survivors.
 

@@ -139,23 +139,27 @@ def make_train_step(model: EfficientDet, cfg: DetectorConfig
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            if bn_mutable:
-                (cls_probs, box_deltas), new_state = model.apply(
-                    variables, batch["images"], True,
-                    rngs={"dropout": step_rng}, mutable=["batch_stats"])
-            else:
-                cls_probs, box_deltas = model.apply(
-                    variables, batch["images"], True,
-                    rngs={"dropout": step_rng})
-                new_state = {}
-            cls_loss, reg_loss = detection_loss(
-                cls_probs, box_deltas, anchors, batch["annotations"], cfg)
+            with jax.named_scope("forward"):
+                if bn_mutable:
+                    (cls_probs, box_deltas), new_state = model.apply(
+                        variables, batch["images"], True,
+                        rngs={"dropout": step_rng}, mutable=["batch_stats"])
+                else:
+                    cls_probs, box_deltas = model.apply(
+                        variables, batch["images"], True,
+                        rngs={"dropout": step_rng})
+                    new_state = {}
+            with jax.named_scope("loss"):
+                cls_loss, reg_loss = detection_loss(
+                    cls_probs, box_deltas, anchors, batch["annotations"], cfg)
             total = cls_loss + reg_loss
             return total, (cls_loss, reg_loss, new_state)
 
-        grads, (cls_loss, reg_loss, new_model_state) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads)
+        with jax.named_scope("backward"):
+            grads, (cls_loss, reg_loss, new_model_state) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+        with jax.named_scope("optimizer"):
+            new_state = state.apply_gradients(grads)
         if bn_mutable:
             new_state = new_state.replace(
                 batch_stats=new_model_state["batch_stats"])

@@ -14,6 +14,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# A site hook imports jax before conftest runs, so the env vars above are too
+# late for jax's config defaults. Backends initialize lazily — config.update
+# still wins as long as no array op has run yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 

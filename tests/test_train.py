@@ -65,6 +65,8 @@ def test_grad_accumulation_state():
 
 def test_train_step_decreases_loss_overfit(setup):
     cfg, model, state, batch = setup
+    # donation consumes the input buffers; keep the fixture's state intact
+    state = jax.tree.map(jnp.copy, state)
     step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
     rng = jax.random.PRNGKey(42)
     batch = jax.device_put(batch)

@@ -57,6 +57,9 @@ def parse_args():
                    help="rematerialize MBConv blocks (D5-D7 memory)")
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel width (default: all devices)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod: jax.distributed.initialize() "
+                        "(replaces the reference's mp.spawn/init_process_group)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic_length", type=int, default=64)
     p.add_argument("--log_every", type=int, default=50)
@@ -106,6 +109,8 @@ def build_dataset(args, train: bool, input_size: int):
 def main():
     args = parse_args()
     import jax
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
     from efficientdet_tpu import EFFICIENTDET, DetectorConfig
     from efficientdet_tpu.data import DataLoader
