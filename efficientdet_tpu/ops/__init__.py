@@ -6,7 +6,8 @@ from .anchors import (anchors_for_image_size, feature_shapes,
 from .boxes import (BOX_STD, clip_boxes, decode_boxes, encode_boxes,
                     pairwise_iou)
 from .losses import focal_loss
-from .nms import Detections, batched_nms, greedy_suppression_mask
+from .nms import (Detections, batched_nms, greedy_suppression_mask,
+                  select_and_suppress)
 from .padding import same_padding, same_padding_1d
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "BOX_STD", "clip_boxes", "decode_boxes", "encode_boxes", "pairwise_iou",
     "focal_loss",
     "Detections", "batched_nms", "greedy_suppression_mask",
+    "select_and_suppress",
     "same_padding", "same_padding_1d",
 ]

@@ -333,7 +333,28 @@ def test_greedy_suppression_matches_oracle():
     assert sorted(np.nonzero(keep)[0].tolist()) == sorted(expected)
 
 
-def test_batched_nms_shapes_and_order():
+def test_select_and_mask_methods_agree():
+    rng = np.random.RandomState(7)
+    B, A, C = 3, 400, 6
+    cls = rng.rand(B, A, C).astype(np.float32) * 0.7
+    boxes = rng.rand(B, A, 4).astype(np.float32) * 200
+    boxes[..., 2:] = boxes[..., :2] + 5 + rng.rand(B, A, 2) * 80
+    kwargs = dict(score_threshold=0.05, iou_threshold=0.5,
+                  pre_nms_top_k=256, max_detections=30)
+    a = batched_nms(jnp.array(cls), jnp.array(boxes), method="select",
+                    **kwargs)
+    b = batched_nms(jnp.array(cls), jnp.array(boxes), method="mask", **kwargs)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.classes),
+                                  np.asarray(b.classes))
+
+
+@pytest.mark.parametrize("method", ["select", "mask"])
+def test_batched_nms_shapes_and_order(method):
     rng = np.random.RandomState(1)
     B, A, C = 2, 300, 5
     cls = rng.rand(B, A, C).astype(np.float32) * 0.5
@@ -341,7 +362,8 @@ def test_batched_nms_shapes_and_order():
     boxes[..., 2:] = boxes[..., :2] + 10
     det = jax.jit(lambda c, b: batched_nms(c, b, score_threshold=0.05,
                                            pre_nms_top_k=128,
-                                           max_detections=20))(
+                                           max_detections=20,
+                                           method=method))(
         jnp.array(cls), jnp.array(boxes))
     assert det.scores.shape == (B, 20)
     assert det.boxes.shape == (B, 20, 4)
@@ -355,7 +377,8 @@ def test_batched_nms_shapes_and_order():
     assert ((cl >= 0) | ~v).all()
 
 
-def test_nms_suppresses_duplicates():
+@pytest.mark.parametrize("method", ["select", "mask"])
+def test_nms_suppresses_duplicates(method):
     # two near-identical boxes, one lower score -> only one kept
     cls = np.zeros((1, 3, 2), dtype=np.float32)
     cls[0, 0, 1] = 0.9
@@ -364,8 +387,25 @@ def test_nms_suppresses_duplicates():
     boxes = np.array([[[10, 10, 50, 50], [11, 11, 51, 51],
                        [200, 200, 250, 250]]], dtype=np.float32)
     det = batched_nms(jnp.array(cls), jnp.array(boxes), score_threshold=0.05,
-                      pre_nms_top_k=3, max_detections=3)
+                      pre_nms_top_k=3, max_detections=3, method=method)
     v = np.asarray(det.valid[0])
     assert v.sum() == 2
     np.testing.assert_allclose(np.asarray(det.scores[0])[:2], [0.9, 0.7])
     assert np.asarray(det.classes[0])[:2].tolist() == [1, 0]
+
+
+def test_select_and_suppress_matches_oracle():
+    from efficientdet_tpu.ops import select_and_suppress
+    rng = np.random.RandomState(3)
+    n = 80
+    boxes = rng.rand(n, 4).astype(np.float32) * 100
+    boxes[:, 2:] = boxes[:, :2] + 5 + rng.rand(n, 2).astype(np.float32) * 50
+    scores = rng.rand(n).astype(np.float32)
+    order = np.argsort(-scores)
+    sboxes, sscores = boxes[order], scores[order]
+    classes = np.arange(n, dtype=np.int32)
+    det = select_and_suppress(jnp.array(sboxes), jnp.array(sscores),
+                              jnp.array(classes), 0.5, max_detections=n)
+    kept_rows = np.asarray(det.classes)[np.asarray(det.valid)]
+    expected = _greedy_nms_oracle(sboxes, sscores, 0.5)
+    assert kept_rows.tolist() == expected
