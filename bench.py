@@ -23,37 +23,89 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 BASELINE_IMG_PER_SEC = 750.0  # 3x A100-class (~250 img/s) target
 
 
+def _bench_loop(step_fn, args, iters):
+    """Dispatch `iters` steps back-to-back, block on the final result (the
+    device stream is sequential, so this bounds total device time)."""
+    import jax
+    out = step_fn(*args)
+    jax.block_until_ready(out)   # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step_fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
     from efficientdet_tpu import DetectorConfig
     from efficientdet_tpu.models import EfficientDet
-    from efficientdet_tpu.train import make_eval_step
+    from efficientdet_tpu.train import (OptimizerConfig, create_train_state,
+                                        make_eval_step, make_train_step)
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    cfg = DetectorConfig(num_classes=80, network="efficientdet-d0").resolve()
-    model = EfficientDet(config=cfg, dtype=jnp.bfloat16)
+    mode = os.environ.get("BENCH_MODE", "infer")  # infer|latency|train|pallas
+    network = os.environ.get("BENCH_NETWORK", "efficientdet-d0")
+    # batch 128 is the measured v5e throughput sweet spot for D0@512
+    # (32: 834, 64: 1095, 128: 1198, 256: 1124 img/s)
+    batch = int(os.environ.get(
+        "BENCH_BATCH", {"latency": "1", "train": "16"}.get(mode, "128")))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    cfg = DetectorConfig(num_classes=80, network=network).resolve()
+    model = EfficientDet(config=cfg, dtype=jnp.bfloat16,
+                         use_pallas_fusion=(mode == "pallas"))
     rng = np.random.RandomState(0)
     images = jnp.asarray(
         rng.rand(batch, cfg.input_size, cfg.input_size, 3).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), images[:1])
+
+    tag = network.replace("efficientdet-", "")
+
+    if mode == "train":
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   cfg.input_size, OptimizerConfig())
+        ann = -np.ones((batch, 16, 5), np.float32)
+        ann[:, 0] = [60, 60, 200, 220, 3]
+        batch_data = {"images": images, "annotations": jnp.asarray(ann),
+                      "scales": jnp.ones((batch,))}
+        train_step = jax.jit(make_train_step(model, cfg))
+        key = jax.random.PRNGKey(1)
+
+        def step_fn(s):
+            s2, _ = train_step(s, batch_data, key)
+            return s2
+
+        # keep threading state through iterations
+        state = step_fn(state)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = step_fn(state)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        value = batch * iters / dt
+        print(json.dumps({
+            "metric": f"efficientdet_{tag}_{cfg.input_size}_bf16_train_images_per_sec_per_chip",
+            "value": round(value, 2), "unit": "images/sec",
+            "vs_baseline": round(value / (BASELINE_IMG_PER_SEC / 3), 3)}))
+        return
+
     step = jax.jit(make_eval_step(model, cfg))
+    dt = _bench_loop(step, (variables, images), iters)
 
-    # warmup / compile
-    out = step(variables, images)
-    jax.block_until_ready(out)
-
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(variables, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    if mode == "latency":
+        p50_ms = dt / iters * 1000
+        print(json.dumps({
+            "metric": f"efficientdet_{tag}_{cfg.input_size}_bf16_e2e_latency_batch1",
+            "value": round(p50_ms, 3), "unit": "ms",
+            "vs_baseline": round(4.0 / max(p50_ms, 1e-9), 3)}))
+        return
 
     img_per_sec = batch * iters / dt
     print(json.dumps({
-        "metric": "efficientdet_d0_512_bf16_inference_images_per_sec_per_chip",
+        "metric": f"efficientdet_{tag}_{cfg.input_size}_bf16_inference_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),

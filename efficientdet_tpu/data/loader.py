@@ -28,7 +28,12 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  max_boxes: int = 100, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 shard_index: int = 0, num_shards: int = 1):
+        """`batch_size` is the PER-HOST batch. For multi-host training pass
+        shard_index=jax.process_index(), num_shards=jax.process_count():
+        every host gets a disjoint, same-seed-shuffled slice per epoch (the
+        sampler the reference's DDP path forgot, train.py:199-204)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,10 +41,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self._epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -48,8 +55,10 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
+            # same seed on every host -> consistent global permutation
             np.random.RandomState(self.seed + self._epoch).shuffle(order)
-        for start in range(0, n, self.batch_size):
+        order = order[self.shard_index::self.num_shards]
+        for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 return

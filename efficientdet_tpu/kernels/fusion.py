@@ -27,10 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
-    """(h, w, c) -> (2h, 2w, c) nearest."""
-    h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, None, :, None, :], (h, 2, w, 2, c))
-    return x.reshape(h * 2, w * 2, c)
+    """(h, w, c) -> (2h, 2w, c) nearest.
+
+    jnp.repeat lowers cleanly in Mosaic; the broadcast+reshape alternative
+    hits "infer-vector-layout: unsupported shape cast" (merging into the
+    sublane dim is not supported, splitting is).
+    """
+    return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
 
 
 def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
@@ -50,10 +53,13 @@ def fuse_topdown_xla(big: jnp.ndarray, small: jnp.ndarray,
 
 
 def _topdown_kernel(w_ref, big_ref, small_ref, out_ref, *, eps):
+    # Mosaic's sublane repeat/reshape only supports 32-bit vectors; do the
+    # resize + fusion math in f32 and cast at the boundary.
     w0 = w_ref[0, 0]
     w1 = w_ref[0, 1]
-    up = _upsample2(small_ref[0])
-    out_ref[0] = (w0 * big_ref[0] + w1 * up) / (w0 + w1 + eps)
+    up = _upsample2(small_ref[0].astype(jnp.float32))
+    big = big_ref[0].astype(jnp.float32)
+    out_ref[0] = ((w0 * big + w1 * up) / (w0 + w1 + eps)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "tile_h"))
@@ -66,7 +72,7 @@ def fuse_topdown_pallas(big: jnp.ndarray, small: jnp.ndarray,
     while h2 % th:
         th //= 2
     th = max(th, 2)
-    weights = jnp.stack([w0, w1]).reshape(1, 2).astype(big.dtype)
+    weights = jnp.stack([w0, w1]).reshape(1, 2).astype(jnp.float32)
     grid = (b, h2 // th)
     return pl.pallas_call(
         functools.partial(_topdown_kernel, eps=eps),
@@ -100,9 +106,11 @@ def _bottomup_kernel(w_ref, cur_ref, lower_ref, skip_ref, out_ref, *, eps):
     w0 = w_ref[0, 0]
     w1 = w_ref[0, 1]
     w2 = w_ref[0, 2]
-    pooled = _maxpool2(lower_ref[0])
-    out_ref[0] = ((w0 * cur_ref[0] + w1 * pooled + w2 * skip_ref[0])
-                  / (w0 + w1 + w2 + eps))
+    pooled = _maxpool2(lower_ref[0].astype(jnp.float32))
+    cur = cur_ref[0].astype(jnp.float32)
+    skip = skip_ref[0].astype(jnp.float32)
+    out_ref[0] = ((w0 * cur + w1 * pooled + w2 * skip)
+                  / (w0 + w1 + w2 + eps)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "tile_h"))
@@ -116,7 +124,7 @@ def fuse_bottomup_pallas(cur: jnp.ndarray, lower: jnp.ndarray,
     while h % th:
         th //= 2
     th = max(th, 1)
-    weights = jnp.stack([w0, w1, w2]).reshape(1, 3).astype(cur.dtype)
+    weights = jnp.stack([w0, w1, w2]).reshape(1, 3).astype(jnp.float32)
     grid = (b, h // th)
     return pl.pallas_call(
         functools.partial(_bottomup_kernel, eps=eps),

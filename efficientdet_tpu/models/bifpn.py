@@ -34,12 +34,20 @@ Dtype = Any
 
 
 class BiFPNModule(nn.Module):
-    """One bidirectional fusion pass over L levels (reference bifpn.py:132-203)."""
+    """One bidirectional fusion pass over L levels (reference bifpn.py:132-203).
+
+    With ``use_pallas=True`` the resize + weighted-add + normalize of each
+    fusion node runs as a single Pallas VMEM pass (kernels/fusion.py) instead
+    of relying on XLA fusion. Numerics are identical (tested); the flag
+    exists so the two lowerings can be A/B benchmarked per hardware
+    generation.
+    """
 
     channels: int
     levels: int = 5
     eps: float = 1e-4
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
@@ -56,6 +64,20 @@ class BiFPNModule(nn.Module):
         w1 = w1.astype(self.dtype)
         w2 = w2.astype(self.dtype)
 
+        if self.use_pallas:
+            from ..kernels import fusion as pk
+            topdown = lambda big, small, a, b: pk.fuse_topdown_pallas(
+                big, small, a, b, eps=self.eps)
+            bottomup = lambda cur, lower, skip, a, b, c: \
+                pk.fuse_bottomup_pallas(cur, lower, skip, a, b, c,
+                                        eps=self.eps)
+        else:
+            topdown = lambda big, small, a, b: \
+                (a * big + b * upsample_nearest_2x(small)) / (a + b + self.eps)
+            bottomup = lambda cur, lower, skip, a, b, c: \
+                (a * cur + b * max_pool_2x2(lower) + c * skip) \
+                / (a + b + c + self.eps)
+
         convs = [ConvSame(self.channels, 3, torch_padding=1, dtype=self.dtype,
                           kernel_init=xavier_uniform, name=f"fuse_conv_{i}")
                  for i in range(2 * (L - 1))]
@@ -65,20 +87,16 @@ class BiFPNModule(nn.Module):
         idx = 0
         # top-down (reference bifpn.py:188-192)
         for i in range(L - 1, 0, -1):
-            fused = (w1[0, i - 1] * path[i - 1]
-                     + w1[1, i - 1] * upsample_nearest_2x(path[i]))
-            fused = fused / (w1[0, i - 1] + w1[1, i - 1] + self.eps)
-            path[i - 1] = convs[idx](fused)
+            path[i - 1] = convs[idx](
+                topdown(path[i - 1], path[i], w1[0, i - 1], w1[1, i - 1]))
             idx += 1
         # bottom-up with input skip (reference bifpn.py:194-198)
         for i in range(0, L - 2):
-            fused = (w2[0, i] * path[i + 1]
-                     + w2[1, i] * max_pool_2x2(path[i])
-                     + w2[2, i] * skips[i + 1])
-            fused = fused / (w2[0, i] + w2[1, i] + w2[2, i] + self.eps)
-            path[i + 1] = convs[idx](fused)
+            path[i + 1] = convs[idx](
+                bottomup(path[i + 1], path[i], skips[i + 1],
+                         w2[0, i], w2[1, i], w2[2, i]))
             idx += 1
-        # top node (reference bifpn.py:200-202)
+        # top node: current + maxpool of the level below (bifpn.py:200-202)
         fused = (w1[0, L - 1] * path[L - 1]
                  + w1[1, L - 1] * max_pool_2x2(path[L - 2]))
         fused = fused / (w1[0, L - 1] + w1[1, L - 1] + self.eps)
@@ -93,6 +111,7 @@ class BiFPN(nn.Module):
     out_channels: int
     stack: int = 2
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
@@ -105,5 +124,6 @@ class BiFPN(nn.Module):
         for s in range(self.stack):
             laterals = BiFPNModule(channels=self.out_channels,
                                    levels=len(laterals), dtype=self.dtype,
+                                   use_pallas=self.use_pallas,
                                    name=f"bifpn_{s}")(laterals)
         return laterals

@@ -40,6 +40,7 @@ class EfficientDet(nn.Module):
     config: DetectorConfig
     dtype: Dtype = jnp.float32
     remat: bool = False
+    use_pallas_fusion: bool = False
 
     def setup(self):
         cfg = self.config.resolve()
@@ -50,7 +51,8 @@ class EfficientDet(nn.Module):
             dtype=self.dtype, remat=self.remat, name="backbone")
         in_channels = backbone_feature_channels(cfg.backbone_name)[-5:]
         self.neck = BiFPN(in_channels=in_channels, out_channels=cfg.W_bifpn,
-                          stack=cfg.D_bifpn, dtype=self.dtype, name="neck")
+                          stack=cfg.D_bifpn, dtype=self.dtype,
+                          use_pallas=self.use_pallas_fusion, name="neck")
         self.head = RetinaHead(
             num_classes=cfg.num_classes, in_channels=cfg.W_bifpn,
             feat_channels=cfg.head_feat_channels,

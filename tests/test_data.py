@@ -77,6 +77,19 @@ def test_dataloader_epochs_and_determinism():
     assert not np.array_equal(batches[0]["images"], batches2[0]["images"])
 
 
+def test_dataloader_sharding_disjoint_and_complete():
+    ds = SyntheticDetection(length=16, image_size=16, num_classes=2)
+    seen = []
+    for shard in range(4):
+        dl = DataLoader(ds, batch_size=2, shuffle=True, max_boxes=4, seed=3,
+                        shard_index=shard, num_shards=4)
+        assert len(dl) == 2  # 16/4 shards -> 4 samples -> 2 batches
+        idx_batches = list(dl._batch_indices())
+        seen.extend(np.concatenate(idx_batches).tolist())
+    # all shards together cover the dataset exactly once
+    assert sorted(seen) == list(range(16))
+
+
 def test_synthetic_boxes_match_pixels():
     ds = SyntheticDetection(length=2, image_size=64, num_classes=5, seed=3)
     s = ds[0]

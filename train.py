@@ -169,6 +169,26 @@ def main():
     scheduler = PlateauScheduler(factor=0.1, patience=3)
     step_rng = jax.random.PRNGKey(args.seed + 1)
 
+    # validation-loss loop (reference test(), train.py:141-152, every 5 epochs)
+    val_loss_step = jax.jit(make_loss_step(model, cfg))
+    try:
+        val_ds = build_dataset(args, False, input_size)
+        val_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
+                                max_boxes=args.max_boxes, drop_last=True)
+    except (FileNotFoundError, OSError):
+        val_loader = None  # no val split on disk
+
+    def validate():
+        if val_loader is None or len(val_loader) == 0:
+            return None
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        totals = []
+        for vbatch in val_loader:
+            vbatch = put_batch(vbatch, mesh)
+            lc, lr = val_loss_step(variables, vbatch)
+            totals.append(float(lc) + float(lr))
+        return float(np.mean(totals))
+
     global_step = 0
     for epoch in range(start_epoch, args.num_epoch):
         t0 = time.time()
@@ -196,6 +216,10 @@ def main():
         ips = len(loader) * args.batch_size / max(dt, 1e-9)
         print(f"epoch {epoch} done: loss {epoch_loss:.4f} "
               f"({dt:.1f}s, {ips:.1f} img/s)")
+        if args.eval_every and (epoch + 1) % args.eval_every == 0:
+            val = validate()
+            if val is not None:
+                print(f"epoch {epoch} val loss: {val:.4f}")
         new_lr = scheduler.step(epoch_loss, get_learning_rate(state.opt_state))
         set_learning_rate(state.opt_state, new_lr)
         if (epoch + 1) % args.save_every == 0:
