@@ -56,7 +56,13 @@ def main():
     from efficientdet_tpu.train import make_eval_step
     from efficientdet_tpu.utils import checkpoint as ckpt
 
-    input_size = args.input_size or EFFICIENTDET[args.network]["input_size"]
+    # the checkpoint's config defines the model geometry; read it FIRST so
+    # the dataset resizes to the size the model was built for
+    saved_cfg = (ckpt.load_config(args.weight)
+                 if os.path.isdir(args.weight) else None)
+    input_size = (args.input_size
+                  or (saved_cfg.input_size if saved_cfg else None)
+                  or EFFICIENTDET[args.network]["input_size"])
     tf = eval_transforms(input_size)
     if args.dataset == "VOC":
         dataset = VOCDetection(args.dataset_root,
@@ -65,13 +71,13 @@ def main():
         dataset = CocoDataset(args.dataset_root, set_name="val2017",
                               transform=tf)
     else:
+        n_cls = (args.num_class
+                 or (saved_cfg.num_classes if saved_cfg else 20))
         dataset = SyntheticDetection(length=args.synthetic_length,
-                                     image_size=input_size, num_classes=20,
-                                     transform=tf)
+                                     image_size=input_size,
+                                     num_classes=n_cls, transform=tf)
     num_classes = args.num_class or dataset.num_classes()
 
-    saved_cfg = (ckpt.load_config(args.weight)
-                 if os.path.isdir(args.weight) else None)
     cfg = saved_cfg or DetectorConfig(num_classes=num_classes,
                                       network=args.network,
                                       input_size=input_size)
@@ -79,7 +85,8 @@ def main():
         num_classes = saved_cfg.num_classes  # model defines the class space
     cfg = cfg.resolve()
     import dataclasses
-    cfg = dataclasses.replace(cfg, threshold=args.threshold,
+    cfg = dataclasses.replace(cfg, input_size=input_size,
+                              threshold=args.threshold,
                               iou_threshold=args.iou_threshold,
                               max_detections=args.max_detections)
 

@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--num_class", type=int, default=None,
                    help="default: dataset's class count")
     p.add_argument("--lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("--lr_schedule", default="plateau",
+                   choices=["plateau", "none"],
+                   help="plateau = ReduceLROnPlateau(0.1, patience 3) on the "
+                        "epoch train loss (reference behavior)")
+    p.add_argument("--lr_patience", type=int, default=3)
     p.add_argument("--weight_decay", type=float, default=1e-2)
     p.add_argument("--grad_accumulation_steps", type=int, default=1)
     p.add_argument("--grad_clip_norm", type=float, default=0.1)
@@ -99,11 +104,12 @@ def build_dataset(args, train: bool, input_size: int):
         return CocoDataset(args.dataset_root,
                            set_name="train2017" if train else "val2017",
                            transform=tf)
+    # same transform pipeline as real datasets (eval.py normalizes too)
     return SyntheticDetection(length=args.synthetic_length,
                               image_size=input_size,
                               num_classes=args.num_class or 20,
-                              transform=None if train else None,
-                              seed=args.seed)
+                              transform=tf,
+                              seed=args.seed if train else args.seed + 777)
 
 
 def main():
@@ -166,7 +172,8 @@ def main():
     train_step = shard_train_step(make_train_step(model, cfg), mesh)
     loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                         max_boxes=args.max_boxes, seed=args.seed)
-    scheduler = PlateauScheduler(factor=0.1, patience=3)
+    scheduler = (PlateauScheduler(factor=0.1, patience=args.lr_patience)
+                 if args.lr_schedule == "plateau" else None)
     step_rng = jax.random.PRNGKey(args.seed + 1)
 
     # validation-loss loop (reference test(), train.py:141-152, every 5 epochs)
@@ -192,7 +199,10 @@ def main():
     global_step = 0
     for epoch in range(start_epoch, args.num_epoch):
         t0 = time.time()
-        losses = []
+        # accumulate the epoch loss ON DEVICE: a per-step device_get would
+        # stall the pipeline (and on a tunneled TPU costs a full RTT each)
+        loss_sum = None
+        steps = 0
         for it, batch in enumerate(loader):
             batch = put_batch(batch, mesh)
             if args.profile_dir and global_step == 5:
@@ -201,17 +211,18 @@ def main():
             if args.profile_dir and global_step == 10:
                 jax.profiler.stop_trace()
             global_step += 1
+            steps += 1
+            loss_sum = (metrics["loss"] if loss_sum is None
+                        else loss_sum + metrics["loss"])
             if it % args.log_every == 0:
                 m = jax.device_get(metrics)
-                losses.append(float(m["loss"]))
                 print(f"epoch {epoch} it {it}/{len(loader)} "
                       f"loss {float(m['loss']):.4f} "
                       f"(cls {float(m['cls_loss']):.4f} "
                       f"reg {float(m['reg_loss']):.4f}) "
                       f"lr {get_learning_rate(state.opt_state):.2e}")
-            else:
-                losses.append(float(jax.device_get(metrics["loss"])))
-        epoch_loss = float(np.mean(losses)) if losses else float("nan")
+        epoch_loss = (float(jax.device_get(loss_sum)) / steps if steps
+                      else float("nan"))
         dt = time.time() - t0
         ips = len(loader) * args.batch_size / max(dt, 1e-9)
         print(f"epoch {epoch} done: loss {epoch_loss:.4f} "
@@ -220,8 +231,10 @@ def main():
             val = validate()
             if val is not None:
                 print(f"epoch {epoch} val loss: {val:.4f}")
-        new_lr = scheduler.step(epoch_loss, get_learning_rate(state.opt_state))
-        set_learning_rate(state.opt_state, new_lr)
+        if scheduler is not None:
+            new_lr = scheduler.step(epoch_loss,
+                                    get_learning_rate(state.opt_state))
+            set_learning_rate(state.opt_state, new_lr)
         if (epoch + 1) % args.save_every == 0:
             host_state = jax.device_get(state)
             path = ckpt.save_checkpoint(save_dir, host_state, cfg, epoch)
