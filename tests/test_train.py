@@ -103,6 +103,30 @@ def test_multichip_mesh_train_step(setup):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_trainable_bn_updates_batch_stats(setup):
+    _, _, _, batch = setup
+    cfg = DetectorConfig(num_classes=4, network="efficientdet-d0",
+                         input_size=SIZE, bn_mode="train").resolve()
+    model = EfficientDet(config=cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0), SIZE)
+    before = jax.tree.leaves(state.batch_stats)[0].copy()
+    step = jax.jit(make_train_step(model, cfg))
+    state, metrics = step(state, jax.device_put(batch), jax.random.PRNGKey(2))
+    after = jax.tree.leaves(state.batch_stats)[0]
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.array_equal(np.asarray(before), np.asarray(after)), \
+        "bn_mode='train' must update running statistics"
+
+
+def test_frozen_bn_keeps_batch_stats(setup):
+    cfg, model, state, batch = setup
+    before = jax.tree.leaves(state.batch_stats)[0].copy()
+    step = jax.jit(make_train_step(model, cfg))
+    new_state, _ = step(state, jax.device_put(batch), jax.random.PRNGKey(2))
+    after = jax.tree.leaves(new_state.batch_stats)[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
 def test_mesh_matches_single_device_loss(setup):
     """Global-batch loss under the 8-way mesh == single-device loss."""
     cfg, model, state, _ = setup
