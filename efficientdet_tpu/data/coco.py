@@ -46,13 +46,17 @@ class CocoDataset:
     def __len__(self) -> int:
         return len(self.image_ids)
 
-    def load_image(self, index: int) -> np.ndarray:
-        import cv2
+    def image_path(self, index: int) -> str:
         info = self.image_index[self.image_ids[index]]
         path = os.path.join(self.root, "images", self.set_name,
                             info["file_name"])
         if not os.path.exists(path):
             path = os.path.join(self.root, self.set_name, info["file_name"])
+        return path
+
+    def load_image(self, index: int) -> np.ndarray:
+        import cv2
+        path = self.image_path(index)
         img = cv2.imread(path)
         if img is None:
             raise FileNotFoundError(path)

@@ -29,11 +29,23 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  max_boxes: int = 100, drop_last: bool = True,
                  seed: int = 0, prefetch: int = 2,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 native: str = "off", image_size: int = 0,
+                 flip_prob: float = 0.0):
         """`batch_size` is the PER-HOST batch. For multi-host training pass
         shard_index=jax.process_index(), num_shards=jax.process_count():
         every host gets a disjoint, same-seed-shuffled slice per epoch (the
-        sampler the reference's DDP path forgot, train.py:199-204)."""
+        sampler the reference's DDP path forgot, train.py:199-204).
+
+        `native='auto'` activates the C++ batch pipeline
+        (efficientdet_tpu.native: threaded JPEG decode + fused
+        resize/flip/normalize/pad) when the library builds and the dataset
+        exposes `image_path`/`load_annotations`. It replaces the standard
+        Normalizer->Augmenter(flip_prob)->Resizer(image_size) transform with
+        numerically identical native code; `image_size` must then be set.
+        Per-image native failures (non-JPEG, corrupt file) silently fall back
+        to the dataset's Python path. 'off' = always Python.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,6 +56,17 @@ class DataLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self._epoch = 0
+        self.image_size = image_size
+        self.flip_prob = flip_prob
+        self._native = False
+        if native != "off":
+            from .. import native as native_mod
+            self._native = (image_size > 0
+                            and hasattr(dataset, "image_path")
+                            and hasattr(dataset, "load_annotations")
+                            and native_mod.available())
+            if native is True or native == "on":
+                assert self._native, "native pipeline requested but unavailable"
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.num_shards
@@ -64,16 +87,56 @@ class DataLoader:
                 return
             yield idx
 
+    def _native_batch(self, idx: Sequence[int],
+                      rng: np.random.RandomState) -> dict:
+        """One collated batch via the C++ pipeline (native/edt_native.cpp).
+
+        Box handling mirrors the Python transform order exactly: flip mirrors
+        x against the ORIGINAL width (Augmenter, transforms.py:60-65), then
+        coordinates scale by the resize factor (Resizer, transforms.py:87-89).
+        """
+        from .. import native as native_mod
+        from .transforms import IMAGENET_MEAN, IMAGENET_STD, pad_annotations
+        paths = [self.dataset.image_path(int(i)) for i in idx]
+        flips = (rng.rand(len(idx)) < self.flip_prob
+                 if self.flip_prob > 0 else np.zeros(len(idx), bool))
+        images, scales, ok = native_mod.decode_resize_batch(
+            paths, self.image_size, flips, IMAGENET_MEAN, IMAGENET_STD)
+        annots = []
+        for j, i in enumerate(idx):
+            if not ok[j]:
+                sample = self.dataset[int(i)]   # full Python fallback
+                images[j] = sample["img"]
+                scales[j] = sample.get("scale", 1.0)
+                annots.append(np.asarray(sample["annot"], np.float32))
+                continue
+            a = np.asarray(self.dataset.load_annotations(int(i)),
+                           np.float32).reshape(-1, 5).copy()
+            if flips[j] and len(a):
+                w = native_mod.image_dims(paths[j])[0]
+                x1, x2 = a[:, 0].copy(), a[:, 2].copy()
+                a[:, 0] = w - x2
+                a[:, 2] = w - x1
+            a[:, :4] *= scales[j]
+            annots.append(a)
+        return {"images": images,
+                "annotations": pad_annotations(annots, self.max_boxes),
+                "scales": scales}
+
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        rng = np.random.RandomState(self.seed * 9973 + self._epoch)
 
         def worker():
             try:
                 for idx in self._batch_indices():
-                    samples = [self.dataset[int(i)] for i in idx]
-                    q.put(collate(samples, self.max_boxes))
+                    if self._native:
+                        q.put(self._native_batch(idx, rng))
+                    else:
+                        samples = [self.dataset[int(i)] for i in idx]
+                        q.put(collate(samples, self.max_boxes))
             finally:
                 q.put(stop)
 

@@ -69,10 +69,13 @@ class VOCDetection:
     def __len__(self) -> int:
         return len(self.ids)
 
+    def image_path(self, index: int) -> str:
+        base, img_id = self.ids[index]
+        return os.path.join(base, "JPEGImages", f"{img_id}.jpg")
+
     def load_image(self, index: int) -> np.ndarray:
         import cv2
-        base, img_id = self.ids[index]
-        path = os.path.join(base, "JPEGImages", f"{img_id}.jpg")
+        path = self.image_path(index)
         img = cv2.imread(path)
         if img is None:
             raise FileNotFoundError(path)

@@ -65,6 +65,10 @@ def parse_args():
     p.add_argument("--multihost", action="store_true",
                    help="multi-host pod: jax.distributed.initialize() "
                         "(replaces the reference's mp.spawn/init_process_group)")
+    p.add_argument("--native_loader", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="C++ decode/augment pipeline (efficientdet_tpu."
+                        "native); auto = use when buildable")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic_length", type=int, default=64)
     p.add_argument("--log_every", type=int, default=50)
@@ -171,7 +175,9 @@ def main():
     state = put_replicated(state, mesh)
     train_step = shard_train_step(make_train_step(model, cfg), mesh)
     loader = DataLoader(train_ds, args.batch_size, shuffle=True,
-                        max_boxes=args.max_boxes, seed=args.seed)
+                        max_boxes=args.max_boxes, seed=args.seed,
+                        native=args.native_loader, image_size=input_size,
+                        flip_prob=0.5)
     scheduler = (PlateauScheduler(factor=0.1, patience=args.lr_patience)
                  if args.lr_schedule == "plateau" else None)
     step_rng = jax.random.PRNGKey(args.seed + 1)
@@ -181,7 +187,9 @@ def main():
     try:
         val_ds = build_dataset(args, False, input_size)
         val_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
-                                max_boxes=args.max_boxes, drop_last=True)
+                                max_boxes=args.max_boxes, drop_last=True,
+                                native=args.native_loader,
+                                image_size=input_size)
     except (FileNotFoundError, OSError):
         val_loader = None  # no val split on disk
 
