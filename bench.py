@@ -70,7 +70,8 @@ def main():
         ann[:, 0] = [60, 60, 200, 220, 3]
         batch_data = {"images": images, "annotations": jnp.asarray(ann),
                       "scales": jnp.ones((batch,))}
-        train_step = jax.jit(make_train_step(model, cfg))
+        train_step = jax.jit(make_train_step(model, cfg),
+                             donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
 
         def step_fn(s):

@@ -233,6 +233,8 @@ class DetectorConfig:
     iou_threshold: float = 0.5            # NMS IoU threshold
     max_detections: int = 100             # fixed-shape detection budget
     pre_nms_top_k: int = 1000             # fixed-shape pre-NMS candidate budget
+    approx_topk: bool = False             # lax.approx_max_k candidate select
+    #   (faster on TPU, >=95% candidate recall; off = exact reference parity)
     # Anchor configuration (reference models/module.py:145-159).
     pyramid_levels: Tuple[int, ...] = (3, 4, 5, 6, 7)
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)

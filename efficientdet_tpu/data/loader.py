@@ -149,6 +149,69 @@ class DataLoader:
             yield item
 
 
+def eval_batches(dataset, batch_size: int, image_size: int = 0,
+                 native: str = "auto") -> Iterator[tuple]:
+    """Sequential eval batches: yields (indices, images (B,S,S,3) f32,
+    scales (B,)); the last batch is zero-padded to the static batch size so
+    a jitted eval step never retraces.
+
+    Uses the native C++ decode pipeline when available (same activation rules
+    as DataLoader), falling back to `dataset[i]`'s Python transform path.
+    """
+    use_native = False
+    if native != "off" and image_size > 0:
+        from .. import native as native_mod
+        use_native = (hasattr(dataset, "image_path")
+                      and hasattr(dataset, "load_annotations")
+                      and native_mod.available())
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        if use_native:
+            from .. import native as native_mod
+            from .transforms import IMAGENET_MEAN, IMAGENET_STD
+            paths = [dataset.image_path(i) for i in idx]
+            images, scales, ok = native_mod.decode_resize_batch(
+                paths, image_size, None, IMAGENET_MEAN, IMAGENET_STD)
+            for j, i in enumerate(idx):
+                if not ok[j]:
+                    s = dataset[i]
+                    images[j] = s["img"]
+                    scales[j] = s.get("scale", 1.0)
+        else:
+            samples = [dataset[i] for i in idx]
+            images = np.stack([s["img"] for s in samples]).astype(np.float32)
+            scales = np.array([s.get("scale", 1.0) for s in samples],
+                              np.float32)
+        if len(idx) < batch_size:
+            pad = batch_size - len(idx)
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], np.float32)])
+            scales = np.concatenate([scales, np.ones((pad,), np.float32)])
+        yield idx, images, scales
+
+
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` in a background thread with a bounded queue, overlapping host
+    work (decode) with device compute."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
 def shard_batch(batch: dict, sharding=None) -> dict:
     """Device-put a host batch, optionally with a NamedSharding whose first
     axis is the mesh data axis."""

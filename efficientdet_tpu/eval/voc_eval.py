@@ -114,33 +114,35 @@ def evaluate_model(dataset, eval_fn, num_classes: int,
                    iou_threshold: float = 0.5,
                    score_threshold: float = 0.05,
                    max_detections: int = 100,
-                   verbose: bool = True):
+                   verbose: bool = True,
+                   input_size: int = 0,
+                   native: str = "auto"):
     """Full VOC evaluation loop, batched on device.
 
     `eval_fn(images) -> Detections` (e.g. a jitted closure over variables).
     `dataset[i]` must yield {'img','annot','scale'}; `dataset.load_annotations`
-    returns original-resolution GT.
+    returns original-resolution GT. Pass `input_size` to enable the native
+    C++ decode pipeline (data/loader.py eval_batches); image decode then
+    overlaps device compute via a prefetch thread.
     Returns (mAP, {label: (AP, num_annotations)}).
     """
+    from ..data.loader import eval_batches, prefetch_iter
+
     n = len(dataset)
     all_detections: List[Optional[list]] = [None] * n
     all_annotations: List[list] = [[] for _ in range(n)]
-    for start in range(0, n, batch_size):
-        idx = list(range(start, min(start + batch_size, n)))
-        samples = [dataset[i] for i in idx]
-        images = np.stack([s["img"] for s in samples]).astype(np.float32)
-        if len(idx) < batch_size:  # pad to static batch
-            pad = batch_size - len(idx)
-            images = np.concatenate([images, np.zeros_like(images[:pad])])
+    batches = prefetch_iter(
+        eval_batches(dataset, batch_size, input_size, native))
+    for idx, images, scales in batches:
         det = eval_fn(images)
         det = {k: np.asarray(v) for k, v in det._asdict().items()}
         for j, i in enumerate(idx):
             all_detections[i] = collect_detections_per_class(
                 det["scores"][j], det["classes"][j], det["boxes"][j],
-                det["valid"][j], num_classes, samples[j].get("scale", 1.0),
+                det["valid"][j], num_classes, float(scales[j]),
                 score_threshold, max_detections)
         if verbose:
-            print(f"{min(start + batch_size, n)}/{n}", end="\r")
+            print(f"{idx[-1] + 1}/{n}", end="\r")
     for i in range(n):
         ann = dataset.load_annotations(i)
         all_annotations[i] = [ann[ann[:, 4] == label, :4].copy()

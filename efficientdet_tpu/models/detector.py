@@ -95,15 +95,16 @@ def postprocess_detections(cls_probs: jnp.ndarray, box_deltas: jnp.ndarray,
                            score_threshold: Optional[float] = None,
                            iou_threshold: Optional[float] = None
                            ) -> nms_ops.Detections:
-    """decode -> clip -> batched fixed-shape NMS (reference efficientdet.py:70-86)."""
+    """Candidate top-k -> decode -> clip -> fixed-shape greedy NMS
+    (reference efficientdet.py:70-86, restructured for TPU bandwidth — see
+    ops/nms.py batched_nms_from_deltas)."""
     cfg = cfg.resolve()
-    boxes = box_ops.decode_boxes(anchors, box_deltas)
-    boxes = box_ops.clip_boxes(boxes, cfg.input_size, cfg.input_size)
-    return nms_ops.batched_nms(
-        cls_probs, boxes,
+    return nms_ops.batched_nms_from_deltas(
+        cls_probs, box_deltas, anchors, cfg.input_size, cfg.input_size,
         score_threshold=(cfg.threshold if score_threshold is None
                          else score_threshold),
         iou_threshold=(cfg.iou_threshold if iou_threshold is None
                        else iou_threshold),
         pre_nms_top_k=cfg.pre_nms_top_k,
-        max_detections=cfg.max_detections)
+        max_detections=cfg.max_detections,
+        approx_topk=cfg.approx_topk)

@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--results_json", default=None,
                    help="COCO: write results JSON here")
     p.add_argument("--synthetic_length", type=int, default=16)
+    p.add_argument("--native_loader", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="C++ decode pipeline for eval batches")
     return p.parse_args()
 
 
@@ -102,27 +105,24 @@ def main():
         mean_ap, _ = evaluate_model(
             dataset, eval_fn, num_classes, batch_size=args.batch_size,
             iou_threshold=args.eval_iou, score_threshold=args.threshold,
-            max_detections=args.max_detections)
+            max_detections=args.max_detections, input_size=input_size,
+            native=args.native_loader)
         print(f"mAP@{args.eval_iou}: {mean_ap:.4f}")
         return
 
     # COCO path: accumulate + COCO metrics; optionally write results JSON
+    from efficientdet_tpu.data.loader import eval_batches, prefetch_iter
     evaluator = CocoEvaluator(num_classes, max_dets=args.max_detections)
     image_ids, dets_for_json = [], []
     n = len(dataset)
     bs = args.batch_size
-    for start in range(0, n, bs):
-        idx = list(range(start, min(start + bs, n)))
-        samples = [dataset[i] for i in idx]
-        images = np.stack([s["img"] for s in samples]).astype(np.float32)
-        if len(idx) < bs:
-            images = np.concatenate(
-                [images, np.zeros((bs - len(idx),) + images.shape[1:],
-                                  np.float32)])
+    batches = prefetch_iter(
+        eval_batches(dataset, bs, input_size, args.native_loader))
+    for idx, images, scales in batches:
         det = eval_fn(images)
         for j, i in enumerate(idx):
             valid = np.asarray(det.valid[j])
-            boxes = np.asarray(det.boxes[j])[valid] / samples[j]["scale"]
+            boxes = np.asarray(det.boxes[j])[valid] / float(scales[j])
             scores = np.asarray(det.scores[j])[valid]
             classes = np.asarray(det.classes[j])[valid]
             gts = dataset.load_annotations(i)
@@ -133,7 +133,7 @@ def main():
                 image_ids.append(dataset.image_ids[i])
                 dets_for_json.append({"boxes": boxes, "scores": scores,
                                       "classes": classes})
-        print(f"{min(start + bs, n)}/{n}", end="\r")
+        print(f"{idx[-1] + 1}/{n}", end="\r")
     print()
     stats = evaluator.summarize()
     if args.results_json:

@@ -148,3 +148,18 @@ def test_loader_native_images_match_python_when_no_flip(jpeg_dir):
     for i, p in enumerate(jpeg_dir):
         ref_img, _ = _python_reference(p, 128, False)
         assert np.abs(batch["images"][i] - ref_img).max() < 0.02
+
+
+def test_eval_batches_native_matches_python(jpeg_dir):
+    from efficientdet_tpu.data.loader import eval_batches, prefetch_iter
+    boxes = [np.zeros((0, 5), np.float32) for _ in jpeg_dir]
+    ds = _PathDataset(list(jpeg_dir), boxes)
+    nat = list(prefetch_iter(eval_batches(ds, 3, image_size=128,
+                                          native="auto")))
+    py = list(eval_batches(ds, 3, image_size=0, native="off"))
+    assert len(nat) == len(py) == 2
+    for (i1, im1, s1), (i2, im2, s2) in zip(nat, py):
+        assert i1 == i2
+        assert im1.shape == im2.shape == (3, 128, 128, 3)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+        assert np.abs(im1 - im2).max() < 0.02

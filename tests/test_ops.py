@@ -409,3 +409,58 @@ def test_select_and_suppress_matches_oracle():
     kept_rows = np.asarray(det.classes)[np.asarray(det.valid)]
     expected = _greedy_nms_oracle(sboxes, sscores, 0.5)
     assert kept_rows.tolist() == expected
+
+
+def test_batched_nms_from_deltas_matches_decode_all_path():
+    """The serving-optimized postprocess (fused argmax, top-k before decode)
+    must be bit-identical to decode-all -> clip -> batched_nms."""
+    from efficientdet_tpu.ops import boxes as box_ops
+    from efficientdet_tpu.ops.nms import batched_nms_from_deltas
+
+    rng = np.random.RandomState(11)
+    B, C = 3, 7
+    anchors = np.asarray(anchors_for_image_size(128))
+    A = anchors.shape[0]
+    cls = (rng.rand(B, A, C) ** 3).astype(np.float32)  # sparse high scores
+    deltas = (rng.randn(B, A, 4) * 0.2).astype(np.float32)
+
+    decoded = box_ops.decode_boxes(jnp.array(anchors), jnp.array(deltas))
+    decoded = box_ops.clip_boxes(decoded, 128, 128)
+    ref = batched_nms(jnp.array(cls), decoded, score_threshold=0.05,
+                      iou_threshold=0.5, pre_nms_top_k=300, max_detections=40)
+    new = batched_nms_from_deltas(
+        jnp.array(cls), jnp.array(deltas), jnp.array(anchors), 128, 128,
+        score_threshold=0.05, iou_threshold=0.5, pre_nms_top_k=300,
+        max_detections=40)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(new.valid))
+    np.testing.assert_array_equal(np.asarray(ref.classes),
+                                  np.asarray(new.classes))
+    np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(new.scores),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.boxes), np.asarray(new.boxes),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_batched_nms_from_deltas_approx_topk_close():
+    """approx_max_k selection: same shapes, and on well-separated boxes the
+    detections agree with the exact path."""
+    from efficientdet_tpu.ops.nms import batched_nms_from_deltas
+
+    anchors = np.asarray(anchors_for_image_size(128))
+    A = anchors.shape[0]
+    cls = np.full((1, A, 3), 1e-4, np.float32)
+    # a handful of clearly-separated strong anchors
+    idx = np.linspace(0, A - 1, 7).astype(int)
+    cls[0, idx, 1] = np.linspace(0.9, 0.6, 7)
+    deltas = np.zeros((1, A, 4), np.float32)
+    kw = dict(score_threshold=0.05, iou_threshold=0.5, pre_nms_top_k=64,
+              max_detections=16)
+    exact = batched_nms_from_deltas(jnp.array(cls), jnp.array(deltas),
+                                    jnp.array(anchors), 128, 128, **kw)
+    approx = batched_nms_from_deltas(jnp.array(cls), jnp.array(deltas),
+                                     jnp.array(anchors), 128, 128,
+                                     approx_topk=True, **kw)
+    assert approx.scores.shape == exact.scores.shape
+    ex = np.asarray(exact.scores)[np.asarray(exact.valid)]
+    ap = np.asarray(approx.scores)[np.asarray(approx.valid)]
+    np.testing.assert_allclose(np.sort(ex), np.sort(ap), rtol=1e-6)
