@@ -72,6 +72,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic_length", type=int, default=64)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--log_dir", default=None,
+                   help="write metrics.jsonl (and TensorBoard with "
+                        "--tensorboard) here")
+    p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace for the first steps")
     args, _ = p.parse_known_args()
@@ -204,6 +208,9 @@ def main():
             totals.append(float(lc) + float(lr))
         return float(np.mean(totals))
 
+    from efficientdet_tpu.utils.visualization import MetricLogger
+    logger = MetricLogger(args.log_dir, tensorboard=args.tensorboard)
+
     global_step = 0
     for epoch in range(start_epoch, args.num_epoch):
         t0 = time.time()
@@ -224,21 +231,28 @@ def main():
                         else loss_sum + metrics["loss"])
             if it % args.log_every == 0:
                 m = jax.device_get(metrics)
+                lr_now = get_learning_rate(state.opt_state)
                 print(f"epoch {epoch} it {it}/{len(loader)} "
                       f"loss {float(m['loss']):.4f} "
                       f"(cls {float(m['cls_loss']):.4f} "
                       f"reg {float(m['reg_loss']):.4f}) "
-                      f"lr {get_learning_rate(state.opt_state):.2e}")
+                      f"lr {lr_now:.2e}")
+                logger.update(global_step, loss=float(m["loss"]),
+                              cls_loss=float(m["cls_loss"]),
+                              reg_loss=float(m["reg_loss"]), lr=lr_now)
         epoch_loss = (float(jax.device_get(loss_sum)) / steps if steps
                       else float("nan"))
         dt = time.time() - t0
         ips = len(loader) * args.batch_size / max(dt, 1e-9)
         print(f"epoch {epoch} done: loss {epoch_loss:.4f} "
               f"({dt:.1f}s, {ips:.1f} img/s)")
+        logger.update(global_step, epoch=epoch, epoch_loss=epoch_loss,
+                      images_per_sec=ips)
         if args.eval_every and (epoch + 1) % args.eval_every == 0:
             val = validate()
             if val is not None:
                 print(f"epoch {epoch} val loss: {val:.4f}")
+                logger.update(global_step, val_loss=val)
         if scheduler is not None:
             new_lr = scheduler.step(epoch_loss,
                                     get_learning_rate(state.opt_state))
@@ -247,6 +261,7 @@ def main():
             host_state = jax.device_get(state)
             path = ckpt.save_checkpoint(save_dir, host_state, cfg, epoch)
             print(f"saved checkpoint -> {path}")
+    logger.close()
 
 
 if __name__ == "__main__":
