@@ -54,19 +54,31 @@ def _per_image_losses(cls_probs: jnp.ndarray,      # (A, C) sigmoid probabilitie
     num_positive = jnp.sum(positive)
 
     # --- classification: focal BCE on one-hot targets --------------------
+    # Written in the p_t formulation: with one-hot targets t in {0,1},
+    #   bce  = -(t log p + (1-t) log(1-p))  ==  -log(p_t),  p_t = t?p:1-p
+    #   w    = (t ? 1-p : p)^gamma          ==  (1-p_t)^gamma
+    # so ONE transcendental (log) per element instead of two, and the pow
+    # becomes plain multiplies when gamma is a small integer (it is a Python
+    # float at trace time, so the choice is static). Same math as the
+    # reference losses.py:86-104, ~2x fewer VPU transcendentals.
     assigned_label = jnp.clip(gt_labels[iou_argmax], 0, num_classes - 1).astype(jnp.int32)
-    one_hot = jax.nn.one_hot(assigned_label, num_classes, dtype=cls_probs.dtype)
-    # targets: 1 at assigned class for positives, 0 elsewhere for
-    # positives/negatives; ignored anchors (0.4 <= IoU < 0.5) masked out.
-    targets = jnp.where(positive[:, None], one_hot, 0.0)
+    # boolean one-hot of the assigned class, zeroed for non-positives
+    is_pos_class = positive[:, None] & (
+        assigned_label[:, None] == jnp.arange(num_classes, dtype=jnp.int32))
     attend = positive | negative                              # (A,) not-ignored
 
     p = jnp.clip(cls_probs, 1e-4, 1.0 - 1e-4)
-    alpha_factor = jnp.where(targets == 1.0, alpha, 1.0 - alpha)
-    focal_weight = jnp.where(targets == 1.0, 1.0 - p, p)
-    focal_weight = alpha_factor * focal_weight ** gamma
-    bce = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p))
-    cls_loss = jnp.where(attend[:, None], focal_weight * bce, 0.0)
+    pt = jnp.where(is_pos_class, p, 1.0 - p)
+    alpha_factor = jnp.where(is_pos_class, alpha, 1.0 - alpha)
+    one_minus_pt = 1.0 - pt
+    if gamma == 2.0:
+        focal = one_minus_pt * one_minus_pt
+    elif gamma == 1.0:
+        focal = one_minus_pt
+    else:
+        focal = one_minus_pt ** gamma
+    cls_elem = alpha_factor * focal * -jnp.log(pt)
+    cls_loss = jnp.where(attend[:, None], cls_elem, 0.0)
     cls_loss = jnp.sum(cls_loss) / jnp.maximum(num_positive.astype(p.dtype), 1.0)
 
     # --- regression: smooth-L1 on positives ------------------------------
