@@ -63,9 +63,12 @@ def save_checkpoint(directory: str, state, cfg: DetectorConfig, epoch: int,
 
 def latest_epoch(directory: str) -> Optional[int]:
     import orbax.checkpoint as ocp
+    directory, step = _split_step_dir(directory)
+    if step is not None:
+        return step
     if not os.path.isdir(directory):
         return None
-    with ocp.CheckpointManager(os.path.abspath(directory)) as mngr:
+    with ocp.CheckpointManager(directory) as mngr:
         return mngr.latest_step()
 
 
@@ -73,7 +76,9 @@ def restore_checkpoint(directory: str, state,
                        epoch: Optional[int] = None) -> Tuple[Any, int]:
     """Restore into an existing state template -> (state, next_epoch)."""
     import orbax.checkpoint as ocp
-    directory = os.path.abspath(directory)
+    directory, dir_step = _split_step_dir(directory)
+    if epoch is None:
+        epoch = dir_step
     template = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -93,7 +98,22 @@ def restore_checkpoint(directory: str, state,
     return new_state, int(restored["epoch"]) + 1
 
 
+def _split_step_dir(path: str) -> Tuple[str, Optional[int]]:
+    """Accept either a CheckpointManager root or a per-epoch step subdir.
+
+    ``save_checkpoint`` returns (and train.py prints) ``<root>/<epoch>``;
+    orbax wants the root plus a step number. Map ``.../<digits>`` back to
+    ``(root, step)`` so both forms work as --weight/--resume arguments.
+    """
+    path = os.path.abspath(path)
+    base = os.path.basename(path)
+    if base.isdigit() and not os.path.exists(os.path.join(path, _CONFIG_FILE)):
+        return os.path.dirname(path), int(base)
+    return path, None
+
+
 def load_config(directory: str) -> Optional[DetectorConfig]:
+    directory, _ = _split_step_dir(directory)
     path = os.path.join(directory, _CONFIG_FILE)
     if not os.path.exists(path):
         return None
@@ -116,9 +136,10 @@ def load_weights(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
         return torch_import.import_efficientdet(state_dict, mutable)
     # native: weights-only restore — no template needed (plain array tree)
     import orbax.checkpoint as ocp
-    directory = os.path.abspath(path)
+    directory, step = _split_step_dir(path)
     with ocp.CheckpointManager(directory) as mngr:
-        step = mngr.latest_step()
+        if step is None:
+            step = mngr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {directory}")
         restored = mngr.restore(step)

@@ -87,6 +87,31 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(orig), np.asarray(got2))
 
 
+def test_checkpoint_step_dir_paths(tmp_path):
+    """The per-epoch subdir train.py prints (<root>/<epoch>) must be loadable
+    everywhere the manager root is (eval.py --weight, --resume, config)."""
+    size = 128
+    cfg = DetectorConfig(num_classes=2, network="efficientdet-d0",
+                         input_size=size).resolve()
+    model = EfficientDet(config=cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0), size,
+                               OptimizerConfig())
+    root = str(tmp_path / "ck")
+    step_dir = ckpt.save_checkpoint(root, jax.device_get(state), cfg, epoch=2)
+    assert step_dir == os.path.join(os.path.abspath(root), "2")
+    assert ckpt.latest_epoch(step_dir) == 2
+    assert ckpt.load_config(step_dir) == cfg
+    variables = ckpt.load_weights(
+        step_dir, {"params": state.params, "batch_stats": state.batch_stats})
+    orig = jax.tree.leaves(state.params)[0]
+    got = jax.tree.leaves(variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(orig), np.asarray(got))
+    state2 = create_train_state(model, jax.random.PRNGKey(1), size,
+                                OptimizerConfig())
+    restored, next_epoch = ckpt.restore_checkpoint(step_dir, state2)
+    assert next_epoch == 3
+
+
 def test_metric_logger(tmp_path):
     log = MetricLogger(str(tmp_path))
     log.update(0, loss=2.0)
