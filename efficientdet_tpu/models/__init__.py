@@ -3,7 +3,7 @@
 from .bifpn import BiFPN, BiFPNModule
 from .classifier import EfficientNetClassifier
 from .detector import (EfficientDet, anchors_for_config, detection_loss,
-                       postprocess_detections)
+                       postprocess_detections, postprocess_from_scores)
 from .efficientnet import (EfficientNetFeatures, MBConvBlock,
                            backbone_feature_channels)
 from .retina_head import RetinaHead, bias_init_with_prob
@@ -12,7 +12,7 @@ from .simple_head import ClassificationSubnet, RegressionSubnet
 __all__ = [
     "BiFPN", "BiFPNModule", "EfficientNetClassifier",
     "EfficientDet", "anchors_for_config", "detection_loss",
-    "postprocess_detections",
+    "postprocess_detections", "postprocess_from_scores",
     "EfficientNetFeatures", "MBConvBlock", "backbone_feature_channels",
     "RetinaHead", "bias_init_with_prob",
     "ClassificationSubnet", "RegressionSubnet",

@@ -73,6 +73,21 @@ class EfficientDet(nn.Module):
         features = self.backbone(images.astype(self.dtype), train)
         return self.neck(features[-5:])
 
+    def serving_forward(self, images: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Bandwidth-optimal inference forward:
+        (scores (B, A) f32, classes (B, A) i32, box_deltas (B, A, 4) f32).
+
+        Identical selection to __call__ + class max/argmax (sigmoid is
+        monotonic), but the per-anchor class reduction happens per level
+        inside the head, so the (B, A, C) probability tensor is never
+        materialized in HBM. Feed the result to
+        ``postprocess_from_scores`` / ``ops.nms.batched_nms_from_scores``.
+        """
+        features = self.backbone(images.astype(self.dtype), False)
+        pyramid = self.neck(features[-5:])
+        return self.head(pyramid, reduce_classes=True)
+
 
 def anchors_for_config(cfg: DetectorConfig) -> jnp.ndarray:
     """(A_total, 4) anchor constant for the configured input size."""
@@ -101,6 +116,26 @@ def postprocess_detections(cls_probs: jnp.ndarray, box_deltas: jnp.ndarray,
     cfg = cfg.resolve()
     return nms_ops.batched_nms_from_deltas(
         cls_probs, box_deltas, anchors, cfg.input_size, cfg.input_size,
+        score_threshold=(cfg.threshold if score_threshold is None
+                         else score_threshold),
+        iou_threshold=(cfg.iou_threshold if iou_threshold is None
+                       else iou_threshold),
+        pre_nms_top_k=cfg.pre_nms_top_k,
+        max_detections=cfg.max_detections,
+        approx_topk=cfg.approx_topk)
+
+
+def postprocess_from_scores(scores: jnp.ndarray, classes: jnp.ndarray,
+                            box_deltas: jnp.ndarray, anchors: jnp.ndarray,
+                            cfg: DetectorConfig,
+                            score_threshold: Optional[float] = None,
+                            iou_threshold: Optional[float] = None
+                            ) -> nms_ops.Detections:
+    """NMS tail for ``EfficientDet.serving_forward`` outputs — same results
+    as ``postprocess_detections`` without re-reading a (B, A, C) tensor."""
+    cfg = cfg.resolve()
+    return nms_ops.batched_nms_from_scores(
+        scores, classes, box_deltas, anchors, cfg.input_size, cfg.input_size,
         score_threshold=(cfg.threshold if score_threshold is None
                          else score_threshold),
         iou_threshold=(cfg.iou_threshold if iou_threshold is None

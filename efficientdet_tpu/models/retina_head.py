@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import reductions as reduction_ops
 from .layers import ConvSame
 
 Dtype = Any
@@ -46,8 +47,8 @@ class RetinaHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, feats: Sequence[jnp.ndarray],
+                 reduce_classes: bool = False):
         normal01 = nn.initializers.normal(stddev=0.01)
         cls_convs = [ConvSame(self.feat_channels, 3, torch_padding=1,
                               dtype=self.dtype, kernel_init=normal01,
@@ -69,6 +70,7 @@ class RetinaHead(nn.Module):
             name="retina_reg")
 
         cls_outs, reg_outs = [], []
+        arg_outs = []
         for x in feats:
             b = x.shape[0]
             cls_feat = x
@@ -77,7 +79,28 @@ class RetinaHead(nn.Module):
                 cls_feat = nn.relu(conv(cls_feat))
             for conv in reg_convs:
                 reg_feat = nn.relu(conv(reg_feat))
-            cls = jax.nn.sigmoid(retina_cls(cls_feat))
-            cls_outs.append(cls.reshape(b, -1, self.num_classes))
+            logits = retina_cls(cls_feat)
+            if reduce_classes:
+                # Serving path: only the per-anchor best class survives NMS,
+                # and sigmoid is monotonic, so max/argmax over LOGITS pick the
+                # same class — reduce here, per level, where XLA fuses the
+                # reduction into the conv epilogue. The full (B, A, C) prob
+                # tensor (2 GB at B=128/A=49k/C=80 f32) is never written to
+                # HBM, and for bf16 the max+argmax pair is ONE packed integer
+                # reduction pass (ops/reductions.py) instead of two reads.
+                # Score = sigmoid(max logit) computed f32 at the end.
+                ll = logits.reshape(b, -1, self.num_classes)
+                mx, am = reduction_ops.max_argmax(ll)
+                cls_outs.append(mx)
+                arg_outs.append(am)
+            else:
+                cls = jax.nn.sigmoid(logits)
+                cls_outs.append(cls.reshape(b, -1, self.num_classes))
             reg_outs.append(retina_reg(reg_feat).reshape(b, -1, 4))
-        return jnp.concatenate(cls_outs, axis=1), jnp.concatenate(reg_outs, axis=1)
+        reg = jnp.concatenate(reg_outs, axis=1)
+        if reduce_classes:
+            max_logits = jnp.concatenate(cls_outs, axis=1).astype(jnp.float32)
+            scores = jax.nn.sigmoid(max_logits)
+            classes = jnp.concatenate(arg_outs, axis=1)
+            return scores, classes, reg.astype(jnp.float32)
+        return jnp.concatenate(cls_outs, axis=1), reg

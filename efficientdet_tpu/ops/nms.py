@@ -199,11 +199,41 @@ def batched_nms_from_deltas(cls_probs: jnp.ndarray,   # (B, A, C)
 
     Suppression itself is the same select-and-suppress scan.
     """
-    num_anchors = cls_probs.shape[1]
-    k = min(pre_nms_top_k, num_anchors)
-
     scores_all = jnp.max(cls_probs, axis=2)
     classes_all = jnp.argmax(cls_probs, axis=2).astype(jnp.int32)
+    return batched_nms_from_scores(
+        scores_all, classes_all, box_deltas, anchors,
+        image_height, image_width, score_threshold=score_threshold,
+        iou_threshold=iou_threshold, pre_nms_top_k=pre_nms_top_k,
+        max_detections=max_detections, approx_topk=approx_topk)
+
+
+def batched_nms_from_scores(scores_all: jnp.ndarray,   # (B, A)
+                            classes_all: jnp.ndarray,  # (B, A) int32
+                            box_deltas: jnp.ndarray,   # (B, A, 4)
+                            anchors: jnp.ndarray,      # (A, 4)
+                            image_height: int, image_width: int,
+                            score_threshold: float = 0.01,
+                            iou_threshold: float = 0.5,
+                            pre_nms_top_k: int = 1000,
+                            max_detections: int = 100,
+                            approx_topk: bool = False,
+                            method: str = "auto") -> Detections:
+    """NMS tail for pre-reduced per-anchor (score, class) vectors.
+
+    The fastest serving shape: pair with the model's ``serving_forward``,
+    which does the class max/argmax per level inside the head (on logits —
+    sigmoid is monotonic) so no (B, A, C) tensor ever reaches HBM.
+
+    method: 'pallas' (VMEM-resident greedy kernel, kernels/nms_kernel.py),
+    'select' (lax.scan formulation), or 'auto' — pallas on TPU backends,
+    scan elsewhere. Identical results either way.
+    """
+    num_anchors = scores_all.shape[1]
+    k = min(pre_nms_top_k, num_anchors)
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "select"
+
     scores_all = jnp.where(scores_all > score_threshold,
                            scores_all.astype(jnp.float32), 0.0)
 
@@ -211,6 +241,24 @@ def batched_nms_from_deltas(cls_probs: jnp.ndarray,   # (B, A, C)
         top_scores, top_idx = jax.lax.approx_max_k(scores_all, k)
     else:
         top_scores, top_idx = jax.lax.top_k(scores_all, k)
+
+    if method == "pallas":
+        from ..kernels.nms_kernel import nms_select_pallas
+        top_deltas = jnp.take_along_axis(
+            box_deltas.astype(jnp.float32), top_idx[..., None], axis=1)
+        top_boxes = box_ops.decode_boxes(anchors[top_idx], top_deltas)
+        top_boxes = box_ops.clip_boxes(top_boxes, image_height, image_width)
+        top_classes = jnp.take_along_axis(classes_all, top_idx, axis=1)
+        out_s, out_i = nms_select_pallas(top_scores, top_boxes,
+                                         iou_threshold, max_detections)
+        valid = out_s > 0.0
+        det_boxes = jnp.take_along_axis(top_boxes, out_i[..., None], axis=1)
+        det_classes = jnp.take_along_axis(top_classes, out_i, axis=1)
+        return Detections(
+            scores=jnp.where(valid, out_s, -1.0),
+            classes=jnp.where(valid, det_classes, -1),
+            boxes=jnp.where(valid[..., None], det_boxes, 0.0),
+            valid=valid)
 
     def finish(scores_i, idx_i, deltas_i, classes_i):
         top_boxes = box_ops.decode_boxes(

@@ -29,7 +29,8 @@ from flax.core import FrozenDict
 
 from ..config import DetectorConfig
 from ..models.detector import (EfficientDet, anchors_for_config,
-                               detection_loss, postprocess_detections)
+                               detection_loss, postprocess_detections,
+                               postprocess_from_scores)
 
 
 class TrainState(struct.PyTreeNode):
@@ -172,13 +173,19 @@ def make_train_step(model: EfficientDet, cfg: DetectorConfig
 
 
 def make_eval_step(model: EfficientDet, cfg: DetectorConfig):
-    """(variables, images) -> Detections, fully on device."""
+    """(variables, images) -> Detections, fully on device.
+
+    Uses the serving forward (per-level class reduction on logits inside the
+    head) — identical detections to apply + ``postprocess_detections``, but
+    the (B, A, C) probability tensor never touches HBM."""
     cfg = cfg.resolve()
     anchors = anchors_for_config(cfg)
 
     def eval_step(variables, images):
-        cls_probs, box_deltas = model.apply(variables, images)
-        return postprocess_detections(cls_probs, box_deltas, anchors, cfg)
+        scores, classes, box_deltas = model.apply(
+            variables, images, method=EfficientDet.serving_forward)
+        return postprocess_from_scores(scores, classes, box_deltas,
+                                       anchors, cfg)
 
     return eval_step
 

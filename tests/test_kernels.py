@@ -56,3 +56,72 @@ def test_fuse_bottomup_maxpool_structure():
     expected = fuse_bottomup_xla(cur, lower, skip, jnp.float32(0.0),
                                  jnp.float32(1.0), jnp.float32(0.0), eps=0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected))
+
+
+# ----------------------------------------------------------- NMS kernel
+def _random_candidates(rng, b, k):
+    """Score-sorted candidate sets with heavy overlap (realistic NMS input)."""
+    centers = rng.rand(b, k, 2).astype(np.float32) * 80
+    sizes = rng.rand(b, k, 2).astype(np.float32) * 40 + 5
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], axis=2)
+    scores = np.sort(rng.rand(b, k).astype(np.float32))[:, ::-1].copy()
+    # sprinkle padding (score 0) at the tail like a post-threshold top-k
+    scores[:, -k // 4:] = 0.0
+    return jnp.asarray(scores), jnp.asarray(boxes)
+
+
+@pytest.mark.parametrize("b,k,d", [(2, 64, 8), (1, 128, 16)])
+def test_nms_pallas_matches_scan(b, k, d):
+    from efficientdet_tpu.kernels.nms_kernel import nms_select_pallas
+    from efficientdet_tpu.ops.nms import select_and_suppress
+    import jax
+
+    rng = np.random.RandomState(7)
+    scores, boxes = _random_candidates(rng, b, k)
+    classes = jnp.asarray(rng.randint(0, 5, size=(b, k)).astype(np.int32))
+    ref = jax.vmap(lambda s, bx, c: select_and_suppress(bx, s, c, 0.5, d))(
+        scores, boxes, classes)
+    out_s, out_i = nms_select_pallas(scores, boxes, 0.5, d, interpret=True)
+    valid = np.asarray(out_s) > 0
+    np.testing.assert_array_equal(valid, np.asarray(ref.valid))
+    np.testing.assert_allclose(np.where(valid, np.asarray(out_s), -1.0),
+                               np.asarray(ref.scores), rtol=1e-6)
+    got_cls = np.where(valid, np.take_along_axis(
+        np.asarray(classes), np.asarray(out_i), axis=1), -1)
+    np.testing.assert_array_equal(got_cls, np.asarray(ref.classes))
+    got_boxes = np.where(valid[..., None], np.take_along_axis(
+        np.asarray(boxes), np.asarray(out_i)[..., None], axis=1), 0.0)
+    np.testing.assert_allclose(got_boxes, np.asarray(ref.boxes), rtol=1e-6)
+
+
+def test_nms_pallas_all_padding():
+    from efficientdet_tpu.kernels.nms_kernel import nms_select_pallas
+    scores = jnp.zeros((2, 64))
+    boxes = jnp.zeros((2, 64, 4))
+    out_s, out_i = nms_select_pallas(scores, boxes, 0.5, 8, interpret=True)
+    assert not np.any(np.asarray(out_s) > 0)
+
+
+# ------------------------------------------- packed max/argmax reduction
+def test_packed_max_argmax_bf16_matches_two_pass():
+    from efficientdet_tpu.ops.reductions import packed_max_argmax_bf16
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 257, 80).astype(np.float32) * 5).astype(
+        jnp.bfloat16)
+    mx, am = packed_max_argmax_bf16(x)
+    np.testing.assert_array_equal(
+        np.asarray(mx, dtype=np.float32),
+        np.asarray(jnp.max(x, axis=-1), dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(am),
+                                  np.asarray(jnp.argmax(x, axis=-1)))
+
+
+def test_packed_max_argmax_bf16_ties_and_negatives():
+    from efficientdet_tpu.ops.reductions import packed_max_argmax_bf16
+    x = jnp.asarray([[-3.0, -1.5, -1.5, -7.0],
+                     [2.5, 2.5, 1.0, 2.5],
+                     [-1.0, -2.0, -3.0, -0.5]]).astype(jnp.bfloat16)
+    mx, am = packed_max_argmax_bf16(x)
+    np.testing.assert_array_equal(np.asarray(mx, np.float32),
+                                  [-1.5, 2.5, -0.5])
+    np.testing.assert_array_equal(np.asarray(am), [1, 0, 3])  # first index

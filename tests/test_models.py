@@ -103,6 +103,32 @@ def test_detector_loss_and_postprocess(d0_small):
     assert np.asarray(det.boxes).max() <= SIZE + 1e-3
 
 
+def test_serving_forward_matches_full_path(d0_small):
+    """serving_forward (per-level logit max/argmax in the head) must produce
+    the same detections as the full-probs path — sigmoid is monotonic."""
+    from efficientdet_tpu.models import postprocess_from_scores
+    cfg, model, params = d0_small
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, SIZE, SIZE, 3).astype(np.float32))
+    anchors = anchors_for_config(cfg)
+    cls, reg = model.apply(params, x)
+    ref = postprocess_detections(cls, reg, anchors, cfg)
+    scores, classes, deltas = model.apply(
+        params, x, method=type(model).serving_forward)
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.asarray(jnp.max(cls, axis=2)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(classes),
+                                  np.asarray(jnp.argmax(cls, axis=2)))
+    got = postprocess_from_scores(scores, classes, deltas, anchors, cfg)
+    np.testing.assert_array_equal(np.asarray(ref.classes),
+                                  np.asarray(got.classes))
+    np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(got.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.boxes), np.asarray(got.boxes),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_detector_train_mode_dropconnect(d0_small):
     cfg, model, params = d0_small
     x = jnp.ones((2, SIZE, SIZE, 3))
