@@ -47,10 +47,11 @@ def main():
 
     mode = os.environ.get("BENCH_MODE", "infer")  # infer|latency|train|pallas
     network = os.environ.get("BENCH_NETWORK", "efficientdet-d0")
-    # batch 128 is the measured v5e throughput sweet spot for D0@512
-    # (32: 834, 64: 1095, 128: 1198, 256: 1124 img/s)
+    # measured v5e throughput for D0@512 with the serving path (packed
+    # class reduction + u32-packed top-k + Pallas NMS):
+    # batch 128: 1515, 256: 1536 img/s
     batch = int(os.environ.get(
-        "BENCH_BATCH", {"latency": "1", "train": "16"}.get(mode, "128")))
+        "BENCH_BATCH", {"latency": "1", "train": "16"}.get(mode, "256")))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     cfg = DetectorConfig(num_classes=80, network=network).resolve()

@@ -208,6 +208,33 @@ def batched_nms_from_deltas(cls_probs: jnp.ndarray,   # (B, A, C)
         max_detections=max_detections, approx_topk=approx_topk)
 
 
+def _packed_topk(scores: jnp.ndarray, k: int):
+    """Top-k candidate selection as ONE u32 sort instead of lax.top_k's full
+    (f32 key, s32 iota) pair sort — half the sort traffic.
+
+    Packs the high 16 bits of each non-negative f32 score (IEEE bit pattern
+    is order-preserving for non-negative floats) with ``0xFFFF - index`` in
+    the low 16 bits, so a single integer sort yields score-descending,
+    index-ascending (stable) order. Scores are returned EXACT (gathered by
+    index); only membership at the k-th-rank boundary can differ from exact
+    top-k, for candidates whose scores agree in their top 16 bits (<0.4%
+    relative gap) — noise-level for detection, since rank-k candidates face
+    NMS and a 100-detection budget anyway. Requires A <= 65536.
+    """
+    b, a = scores.shape
+    assert a <= 0x10000, a
+    bits = jax.lax.bitcast_convert_type(scores.astype(jnp.float32),
+                                        jnp.uint32)
+    idx = jnp.arange(a, dtype=jnp.uint32)
+    packed = (bits & jnp.uint32(0xFFFF0000)) | (jnp.uint32(0xFFFF) - idx)
+    top = jax.lax.sort(packed, dimension=1, is_stable=False)[:, a - k:]
+    top = top[:, ::-1]
+    top_idx = (jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))
+               ).astype(jnp.int32)
+    top_scores = jnp.take_along_axis(scores, top_idx, axis=1)
+    return top_scores, top_idx
+
+
 def batched_nms_from_scores(scores_all: jnp.ndarray,   # (B, A)
                             classes_all: jnp.ndarray,  # (B, A) int32
                             box_deltas: jnp.ndarray,   # (B, A, 4)
@@ -239,6 +266,8 @@ def batched_nms_from_scores(scores_all: jnp.ndarray,   # (B, A)
 
     if approx_topk:
         top_scores, top_idx = jax.lax.approx_max_k(scores_all, k)
+    elif method == "pallas" and num_anchors <= 0x10000:
+        top_scores, top_idx = _packed_topk(scores_all, k)
     else:
         top_scores, top_idx = jax.lax.top_k(scores_all, k)
 

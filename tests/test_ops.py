@@ -464,3 +464,28 @@ def test_batched_nms_from_deltas_approx_topk_close():
     ex = np.asarray(exact.scores)[np.asarray(exact.valid)]
     ap = np.asarray(approx.scores)[np.asarray(approx.valid)]
     np.testing.assert_allclose(np.sort(ex), np.sort(ap), rtol=1e-6)
+
+
+def test_packed_topk_matches_exact():
+    """_packed_topk must agree with lax.top_k whenever scores are distinct
+    in their top 16 bits (its documented exactness domain)."""
+    import jax
+    from efficientdet_tpu.ops.nms import _packed_topk
+    rng = np.random.RandomState(11)
+    a, k = 4096, 256
+    # 1% spacing > the 2^-7 (0.78%) hi-16 mantissa granularity
+    vals = (0.99 ** np.arange(a)).astype(np.float32)
+    scores = np.stack([rng.permutation(vals) for _ in range(3)])
+    exact_s, exact_i = jax.lax.top_k(jnp.asarray(scores), k)
+    got_s, got_i = _packed_topk(jnp.asarray(scores), k)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(exact_i))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(exact_s))
+
+
+def test_packed_topk_tie_order_and_padding():
+    from efficientdet_tpu.ops.nms import _packed_topk
+    # equal scores -> lower index first (stable order); zeros sort last
+    scores = jnp.asarray([[0.5, 0.0, 0.5, 0.25, 0.5, 0.0]])
+    s, i = _packed_topk(scores, 4)
+    np.testing.assert_array_equal(np.asarray(i)[0], [0, 2, 4, 3])
+    np.testing.assert_allclose(np.asarray(s)[0], [0.5, 0.5, 0.5, 0.25])
