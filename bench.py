@@ -20,7 +20,12 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
-BASELINE_IMG_PER_SEC = 750.0  # 3x A100-class (~250 img/s) target
+BASELINE_IMG_PER_SEC = 750.0  # 3x A100-class (~250 img/s) target, D0@512
+
+# Paper FLOPs per image (arXiv:1911.09070 table 1), used to scale the D0
+# baseline to other variants: baseline(net) = 750 * FLOPS["d0"] / FLOPS[net].
+FLOPS = {"d0": 2.54, "d1": 6.1, "d2": 11.0, "d3": 24.9, "d4": 55.2,
+         "d5": 135.4, "d6": 225.6, "d7": 325.0}
 
 
 def _bench_loop(step_fn, args, iters):
@@ -51,7 +56,7 @@ def main():
     # class reduction + u32-packed top-k + Pallas NMS):
     # batch 128: 1515, 256: 1536 img/s
     batch = int(os.environ.get(
-        "BENCH_BATCH", {"latency": "1", "train": "16"}.get(mode, "256")))
+        "BENCH_BATCH", {"latency": "1", "train": "64"}.get(mode, "256")))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     cfg = DetectorConfig(num_classes=80, network=network).resolve()
@@ -63,6 +68,7 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), images[:1])
 
     tag = network.replace("efficientdet-", "")
+    baseline = BASELINE_IMG_PER_SEC * FLOPS["d0"] / FLOPS.get(tag, FLOPS["d0"])
 
     if mode == "train":
         state = create_train_state(model, jax.random.PRNGKey(0),
@@ -91,7 +97,7 @@ def main():
         print(json.dumps({
             "metric": f"efficientdet_{tag}_{cfg.input_size}_bf16_train_images_per_sec_per_chip",
             "value": round(value, 2), "unit": "images/sec",
-            "vs_baseline": round(value / (BASELINE_IMG_PER_SEC / 3), 3)}))
+            "vs_baseline": round(value / (baseline / 3), 3)}))
         return
 
     step = jax.jit(make_eval_step(model, cfg))
@@ -110,7 +116,7 @@ def main():
         "metric": f"efficientdet_{tag}_{cfg.input_size}_bf16_inference_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "vs_baseline": round(img_per_sec / baseline, 3),
     }))
 
 

@@ -219,19 +219,46 @@ def _packed_topk(scores: jnp.ndarray, k: int):
     index); only membership at the k-th-rank boundary can differ from exact
     top-k, for candidates whose scores agree in their top 16 bits (<0.4%
     relative gap) — noise-level for detection, since rank-k candidates face
-    NMS and a 100-detection budget anyway. Requires A <= 65536.
+    NMS and a 100-detection budget anyway.
+
+    A > 65536 (D1-D7 anchor counts) is handled hierarchically: per-chunk
+    packed sorts of 65536 anchors, then an exact lax.top_k merge of the
+    (num_chunks * k) survivors — exact top-k of each chunk contains the
+    global top-k members from that chunk, so the union is sufficient.
     """
     b, a = scores.shape
-    assert a <= 0x10000, a
-    bits = jax.lax.bitcast_convert_type(scores.astype(jnp.float32),
-                                        jnp.uint32)
-    idx = jnp.arange(a, dtype=jnp.uint32)
-    packed = (bits & jnp.uint32(0xFFFF0000)) | (jnp.uint32(0xFFFF) - idx)
-    top = jax.lax.sort(packed, dimension=1, is_stable=False)[:, a - k:]
-    top = top[:, ::-1]
-    top_idx = (jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))
-               ).astype(jnp.int32)
-    top_scores = jnp.take_along_axis(scores, top_idx, axis=1)
+    chunk = 0x10000
+
+    def onechunk(sc, base):
+        n = sc.shape[1]
+        bits = jax.lax.bitcast_convert_type(sc.astype(jnp.float32),
+                                            jnp.uint32)
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        packed = (bits & jnp.uint32(0xFFFF0000)) | (jnp.uint32(0xFFFF) - idx)
+        kk = min(k, n)
+        top = jax.lax.sort(packed, dimension=1, is_stable=False)[:, n - kk:]
+        top = top[:, ::-1]
+        local = (jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))
+                 ).astype(jnp.int32)
+        return local + base
+
+    if a <= chunk:
+        top_idx = onechunk(scores, 0)
+        top_scores = jnp.take_along_axis(scores, top_idx, axis=1)
+        return top_scores, top_idx
+
+    pad = (-a) % chunk
+    padded = jnp.pad(scores, ((0, 0), (0, pad)))
+    g = padded.shape[1] // chunk
+    chunks = padded.reshape(b, g, chunk)
+    cand_idx = jnp.concatenate(
+        [onechunk(chunks[:, i], i * chunk) for i in range(g)], axis=1)
+    # gather from the PADDED scores so tail-padding candidates keep score 0
+    # (they can only surface when < k real candidates exist; score 0 is
+    # never emitted downstream). Clamp indices afterwards for box gathers.
+    cand_scores = jnp.take_along_axis(padded, cand_idx, axis=1)
+    top_scores, sel = jax.lax.top_k(cand_scores, k)  # small exact merge
+    top_idx = jnp.minimum(jnp.take_along_axis(cand_idx, sel, axis=1), a - 1)
     return top_scores, top_idx
 
 
@@ -266,7 +293,7 @@ def batched_nms_from_scores(scores_all: jnp.ndarray,   # (B, A)
 
     if approx_topk:
         top_scores, top_idx = jax.lax.approx_max_k(scores_all, k)
-    elif method == "pallas" and num_anchors <= 0x10000:
+    elif method == "pallas":
         top_scores, top_idx = _packed_topk(scores_all, k)
     else:
         top_scores, top_idx = jax.lax.top_k(scores_all, k)

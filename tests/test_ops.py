@@ -489,3 +489,20 @@ def test_packed_topk_tie_order_and_padding():
     s, i = _packed_topk(scores, 4)
     np.testing.assert_array_equal(np.asarray(i)[0], [0, 2, 4, 3])
     np.testing.assert_allclose(np.asarray(s)[0], [0.5, 0.5, 0.5, 0.25])
+
+
+def test_packed_topk_hierarchical_large_a():
+    """A > 65536 goes through per-chunk sorts + exact merge."""
+    import jax
+    from efficientdet_tpu.ops.nms import _packed_topk
+    rng = np.random.RandomState(5)
+    a, k = 70000, 64
+    scores = np.zeros((2, a), np.float32)
+    # sparse positives scattered across both chunks, 2% spacing (distinct hi16)
+    for row in range(2):
+        pos = rng.choice(a, size=200, replace=False)
+        scores[row, pos] = 0.98 ** np.arange(200)
+    exact_s, exact_i = jax.lax.top_k(jnp.asarray(scores), k)
+    got_s, got_i = _packed_topk(jnp.asarray(scores), k)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(exact_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(exact_s))
