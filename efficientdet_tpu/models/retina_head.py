@@ -6,6 +6,11 @@ Parity with reference models/retinahead.py:16-132:
 - weights shared across pyramid levels (applied per level)
 - per-level outputs flattened to (B, H*W*A, C) / (B, H*W*A, 4)
 
+Two call modes: the default returns (cls_probs (B, A, C), reg (B, A, 4));
+``reduce_classes=True`` is the serving mode returning
+(scores (B, A) f32, classes (B, A) i32, reg (B, A, 4) f32) with the class
+reduction done per level on logits (see serving_forward in detector.py).
+
 The NHWC layout makes the reference's permute+view dance
 (retinahead.py:120-128) a plain reshape: (B,H,W,A*C) is already in
 (y, x, anchor) order, matching ops/anchors.py.
@@ -20,7 +25,7 @@ essential for focal-loss stability.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

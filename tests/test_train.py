@@ -9,11 +9,11 @@ from efficientdet_tpu import DetectorConfig
 from efficientdet_tpu.data import SyntheticDetection, collate, eval_transforms
 from efficientdet_tpu.models import EfficientDet
 from efficientdet_tpu.parallel import (create_mesh, put_batch, put_replicated,
-                                       shard_train_step)
+                                       shard_eval_step, shard_train_step)
 from efficientdet_tpu.train import (OptimizerConfig, PlateauScheduler,
                                     create_train_state, get_learning_rate,
-                                    make_loss_step, make_train_step,
-                                    set_learning_rate)
+                                    make_eval_step, make_loss_step,
+                                    make_train_step, set_learning_rate)
 
 SIZE = 128
 
@@ -101,6 +101,31 @@ def test_multichip_mesh_train_step(setup):
     # params stay replicated after the step
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_multichip_mesh_serving_step(setup):
+    """Sharded serving (serving_forward + NMS) over the 8-way mesh matches
+    the single-device detections image-for-image."""
+    cfg, model, state, _ = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    rng = np.random.RandomState(9)
+    images = rng.rand(8, SIZE, SIZE, 3).astype(np.float32)
+
+    eval_step = make_eval_step(model, cfg)
+    single = jax.jit(eval_step)(jax.device_put(variables),
+                                jax.device_put(images))
+
+    mesh = create_mesh()
+    sharded = shard_eval_step(eval_step, mesh)
+    det = sharded(put_replicated(variables, mesh),
+                  put_batch({"x": images}, mesh)["x"])
+    assert len(det.scores.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(single.classes),
+                                  np.asarray(det.classes))
+    np.testing.assert_allclose(np.asarray(single.scores),
+                               np.asarray(det.scores), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(single.boxes),
+                               np.asarray(det.boxes), rtol=1e-5, atol=1e-4)
 
 
 def test_trainable_bn_updates_batch_stats(setup):
