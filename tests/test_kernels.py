@@ -125,3 +125,69 @@ def test_packed_max_argmax_bf16_ties_and_negatives():
     np.testing.assert_array_equal(np.asarray(mx, np.float32),
                                   [-1.5, 2.5, -0.5])
     np.testing.assert_array_equal(np.asarray(am), [1, 0, 3])  # first index
+
+
+# ------------------------------------------ fused MBConv expand+depthwise
+def _mbconv_ref(x, we, s0, b0, wd, s1, b1, stride):
+    import jax
+    from efficientdet_tpu.ops.padding import same_padding_1d
+    y = jnp.einsum("bhwc,ce->bhwe", x.astype(jnp.float32),
+                   we.astype(jnp.float32))
+    y = y * s0 + b0
+    y = y * jax.nn.sigmoid(y)
+    y = y.astype(x.dtype).astype(jnp.float32)
+    k = wd.shape[0]
+    h, w = x.shape[1:3]
+    pt, pb = same_padding_1d(h, k, stride)
+    pl, pr = same_padding_1d(w, k, stride)
+    yp = jnp.pad(y, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    z = jax.lax.conv_general_dilated(
+        yp, wd[:, :, None, :].astype(jnp.float32), (stride, stride), "VALID",
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            yp.shape, (k, k, 1, yp.shape[3]), ("NHWC", "HWIO", "NHWC")),
+        feature_group_count=yp.shape[3])
+    z = z * s1 + b1
+    z = z * jax.nn.sigmoid(z)
+    return z.astype(x.dtype), jnp.mean(z, axis=(1, 2))
+
+
+@pytest.mark.parametrize("h,w,cin,ce,k,s", [
+    (32, 32, 16, 96, 3, 2),    # block_1 shape class
+    (32, 32, 24, 144, 3, 1),   # block_2
+    (16, 16, 24, 144, 5, 2),   # block_3
+    (16, 16, 40, 240, 5, 1),   # block_4
+    (24, 24, 16, 96, 3, 1),    # non-power-of-2 spatial
+])
+def test_fused_expand_dw_matches_xla(h, w, cin, ce, k, s):
+    from efficientdet_tpu.kernels.mbconv_kernel import fused_expand_dw
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, h, w, cin).astype(np.float32))
+    we = jnp.asarray(rng.randn(cin, ce).astype(np.float32) * 0.1)
+    s0 = jnp.asarray(rng.rand(ce).astype(np.float32) + 0.5)
+    b0 = jnp.asarray(rng.randn(ce).astype(np.float32) * 0.1)
+    wd = jnp.asarray(rng.randn(k, k, ce).astype(np.float32) * 0.1)
+    s1 = jnp.asarray(rng.rand(ce).astype(np.float32) + 0.5)
+    b1 = jnp.asarray(rng.randn(ce).astype(np.float32) * 0.1)
+    zr, ser = _mbconv_ref(x, we, s0, b0, wd, s1, b1, s)
+    z, se = fused_expand_dw(x, we, s0, b0, wd, s1, b1, stride=s,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(zr),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(se), np.asarray(ser),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fold_bn_affine():
+    from efficientdet_tpu.kernels.mbconv_kernel import fold_bn_affine
+    rng = np.random.RandomState(2)
+    c = 32
+    gamma = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    beta = jnp.asarray(rng.randn(c).astype(np.float32))
+    mean = jnp.asarray(rng.randn(c).astype(np.float32))
+    var = jnp.asarray(rng.rand(c).astype(np.float32) + 0.1)
+    eps = 1e-3
+    scale, bias = fold_bn_affine(gamma, beta, mean, var, eps)
+    x = jnp.asarray(rng.randn(5, c).astype(np.float32))
+    expected = (x - mean) / jnp.sqrt(var + eps) * gamma + beta
+    np.testing.assert_allclose(np.asarray(x * scale + bias),
+                               np.asarray(expected), rtol=1e-5, atol=1e-5)
