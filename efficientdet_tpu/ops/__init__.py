@@ -6,16 +6,20 @@ from .anchors import (anchors_for_image_size, feature_shapes,
 from .boxes import (BOX_STD, clip_boxes, decode_boxes, encode_boxes,
                     pairwise_iou)
 from .losses import focal_loss
-from .nms import (Detections, batched_nms, greedy_suppression_mask,
+from .nms import (Detections, batched_nms, batched_nms_from_deltas,
+                  batched_nms_from_scores, greedy_suppression_mask,
                   select_and_suppress)
 from .padding import same_padding, same_padding_1d
+from .reductions import max_argmax, packed_max_argmax_bf16
 
 __all__ = [
     "anchors_for_image_size", "feature_shapes", "generate_cell_anchors",
     "num_anchors_for_image_size", "shift_anchors",
     "BOX_STD", "clip_boxes", "decode_boxes", "encode_boxes", "pairwise_iou",
     "focal_loss",
-    "Detections", "batched_nms", "greedy_suppression_mask",
+    "Detections", "batched_nms", "batched_nms_from_deltas",
+    "batched_nms_from_scores", "greedy_suppression_mask",
     "select_and_suppress",
     "same_padding", "same_padding_1d",
+    "max_argmax", "packed_max_argmax_bf16",
 ]
