@@ -506,3 +506,13 @@ def test_packed_topk_hierarchical_large_a():
     got_s, got_i = _packed_topk(jnp.asarray(scores), k)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(exact_i))
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(exact_s))
+
+
+def test_packed_topk_all_zero_scores():
+    """All-padding rows must yield valid indices and zero scores (so the
+    NMS stage emits nothing), for both the single-chunk and chunked paths."""
+    from efficientdet_tpu.ops.nms import _packed_topk
+    for a in (4096, 70000):
+        s, i = _packed_topk(jnp.zeros((2, a)), 16)
+        assert np.all(np.asarray(s) == 0.0)
+        assert np.all((np.asarray(i) >= 0) & (np.asarray(i) < a))
