@@ -15,12 +15,48 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
-BASELINE_IMG_PER_SEC = 750.0  # 3x A100-class (~250 img/s) target, D0@512
+# NOTE: 750 = 3x an ESTIMATED ~250 img/s for a well-tuned A100 PyTorch
+# EfficientDet-D0@512 (the reference publishes no throughput number,
+# BASELINE.md); vs_baseline is relative to that estimate, not a measurement.
+BASELINE_IMG_PER_SEC = 750.0
+
+
+def _init_backend_with_retry():
+    """Initialize the TPU backend, riding out transient axon-tunnel failures.
+
+    Round 1's bench recorded nothing because one 'Unable to initialize
+    backend axon: UNAVAILABLE' killed the process (BENCH_r01.json rc=1).
+    jax memoizes backend-init failure in-process, so the only clean retry
+    is to re-exec this script; bounded by BENCH_INIT_RETRIES attempts with
+    exponential backoff."""
+    import jax
+    from efficientdet_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        attempt = int(os.environ.get("_BENCH_INIT_ATTEMPT", "0"))
+        max_tries = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
+        if attempt + 1 >= max_tries:
+            print(json.dumps({
+                "metric": "bench_error", "value": None, "unit": "error",
+                "vs_baseline": None,
+                "error": f"backend init failed after {max_tries} tries: {e}"}))
+            sys.exit(1)
+        delay = 30.0 * (2 ** attempt)
+        print(f"backend init failed ({e}); retry {attempt + 1}/{max_tries} "
+              f"in {delay:.0f}s", file=sys.stderr)
+        time.sleep(delay)
+        os.environ["_BENCH_INIT_ATTEMPT"] = str(attempt + 1)
+        os.execve(sys.executable, [sys.executable] + sys.argv,
+                  dict(os.environ))
 
 # Paper FLOPs per image (arXiv:1911.09070 table 1), used to scale the D0
 # baseline to other variants: baseline(net) = 750 * FLOPS["d0"] / FLOPS[net].
@@ -42,6 +78,7 @@ def _bench_loop(step_fn, args, iters):
 
 
 def main():
+    _init_backend_with_retry()
     import jax
     import jax.numpy as jnp
     import numpy as np

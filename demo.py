@@ -36,6 +36,9 @@ def parse_args():
     p.add_argument("--iou_threshold", type=float, default=0.5)
     p.add_argument("--dataset_classes", default="VOC",
                    choices=["VOC", "COCO", "none"])
+    p.add_argument("--platform", default="auto",
+                   help="jax platform pin (e.g. 'cpu'); flag, not env — a "
+                        "site hook may pre-import jax before JAX_PLATFORMS")
     return p.parse_args()
 
 
@@ -116,6 +119,12 @@ class Detect:
 
 def main():
     args = parse_args()
+    import jax
+
+    from efficientdet_tpu.utils import jax_setup
+    jax_setup.enable_compilation_cache()
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
     det = Detect(args)
     if args.cam:
         det.camera()

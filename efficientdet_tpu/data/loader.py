@@ -125,28 +125,17 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
         rng = np.random.RandomState(self.seed * 9973 + self._epoch)
 
-        def worker():
-            try:
-                for idx in self._batch_indices():
-                    if self._native:
-                        q.put(self._native_batch(idx, rng))
-                    else:
-                        samples = [self.dataset[int(i)] for i in idx]
-                        q.put(collate(samples, self.max_boxes))
-            finally:
-                q.put(stop)
+        def batches():
+            for idx in self._batch_indices():
+                if self._native:
+                    yield self._native_batch(idx, rng)
+                else:
+                    samples = [self.dataset[int(i)] for i in idx]
+                    yield collate(samples, self.max_boxes)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        return prefetch_iter(batches(), depth=self.prefetch)
 
 
 def eval_batches(dataset, batch_size: int, image_size: int = 0,
@@ -193,7 +182,11 @@ def eval_batches(dataset, batch_size: int, image_size: int = 0,
 
 def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
     """Run `it` in a background thread with a bounded queue, overlapping host
-    work (decode) with device compute."""
+    work (decode) with device compute.
+
+    Worker exceptions are captured and RE-RAISED in the consumer (not
+    swallowed into a clean stop): an eval loop must crash loudly rather than
+    silently report metrics over a partial prefix of the dataset."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
 
@@ -201,14 +194,17 @@ def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            q.put((stop, e))
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+            raise item[1]
         yield item
 
 

@@ -29,7 +29,8 @@ class SyntheticDetection:
     def __len__(self) -> int:
         return self.length
 
-    def __getitem__(self, index: int) -> dict:
+    def _raw(self, index: int) -> dict:
+        """Original-resolution image + annotations, before any transform."""
         rng = np.random.RandomState(self.seed * 100003 + index)
         s = self.image_size
         img = rng.rand(s, s, 3).astype(np.float32) * 0.1
@@ -44,15 +45,22 @@ class SyntheticDetection:
             color = 0.3 + 0.7 * rng.rand(3).astype(np.float32)
             img[y1:y1 + h, x1:x1 + w] = color
             annots.append([x1, y1, x1 + w, y1 + h, label])
-        sample = {"img": img,
-                  "annot": np.asarray(annots, dtype=np.float32),
-                  "scale": 1.0}
+        return {"img": img,
+                "annot": np.asarray(annots, dtype=np.float32),
+                "scale": 1.0}
+
+    def __getitem__(self, index: int) -> dict:
+        sample = self._raw(index)
         if self.transform is not None:
             sample = self.transform(sample)
         return sample
 
     def load_annotations(self, index: int) -> np.ndarray:
-        return self[index]["annot"]
+        """ORIGINAL-resolution ground truth — same contract as VOC/COCO
+        (`evaluate_model` rescales detections by 1/scale before matching, so
+        post-transform boxes here would silently mis-score whenever
+        image_size != input_size)."""
+        return self._raw(index)["annot"]
 
     def num_classes(self) -> int:
         return self._num_classes

@@ -46,6 +46,57 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jmp, 1);
 }
 
+// Parse the EXIF orientation tag (0x0112) out of a JPEG byte stream.
+// Returns the orientation value (1..8), or 1 if absent/unparseable.
+// cv2.imread applies EXIF rotation by default, so the native path must NOT
+// decode an EXIF-rotated image as-is — images and boxes would silently
+// disagree with the Python path. Callers reject orientation != 1 (the
+// per-image Python fallback then handles the rotation).
+int exif_orientation(const uint8_t* d, size_t n) {
+  auto u16 = [&](size_t off, bool be) -> unsigned {
+    return be ? (d[off] << 8) | d[off + 1] : (d[off + 1] << 8) | d[off];
+  };
+  auto u32 = [&](size_t off, bool be) -> unsigned long {
+    return be ? ((unsigned long)d[off] << 24) | (d[off + 1] << 16) |
+                    (d[off + 2] << 8) | d[off + 3]
+              : ((unsigned long)d[off + 3] << 24) | (d[off + 2] << 16) |
+                    (d[off + 1] << 8) | d[off];
+  };
+  size_t p = 2;  // past SOI
+  while (p + 4 <= n) {
+    if (d[p] != 0xFF) return 1;
+    const uint8_t marker = d[p + 1];
+    if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { p += 2; continue; }
+    if (marker == 0xDA || marker == 0xD9) return 1;  // SOS/EOI: no EXIF ahead
+    const size_t len = u16(p + 2, true);
+    if (len < 2 || p + 2 + len > n) return 1;
+    if (marker == 0xE1 && len >= 2 + 6 + 8 &&
+        std::memcmp(d + p + 4, "Exif\0\0", 6) == 0) {
+      const size_t t = p + 10;  // TIFF header
+      if (t + 8 > n) return 1;
+      bool be;
+      if (d[t] == 'M' && d[t + 1] == 'M') be = true;
+      else if (d[t] == 'I' && d[t + 1] == 'I') be = false;
+      else return 1;
+      if (u16(t + 2, be) != 42) return 1;
+      const size_t ifd = t + u32(t + 4, be);
+      if (ifd + 2 > n) return 1;
+      const unsigned count = u16(ifd, be);
+      for (unsigned i = 0; i < count; ++i) {
+        const size_t e = ifd + 2 + static_cast<size_t>(i) * 12;
+        if (e + 12 > n) return 1;
+        if (u16(e, be) == 0x0112) {
+          const unsigned v = u16(e + 8, be);  // SHORT value, first 2 bytes
+          return (v >= 1 && v <= 8) ? static_cast<int>(v) : 1;
+        }
+      }
+      return 1;
+    }
+    p += 2 + len;
+  }
+  return 1;
+}
+
 // Decode a JPEG file into an RGB uint8 buffer. Returns true on success and
 // sets (w, h); `pixels` is resized to h*w*3.
 bool decode_jpeg_file(const char* path, std::vector<uint8_t>& pixels,
@@ -62,6 +113,8 @@ bool decode_jpeg_file(const char* path, std::vector<uint8_t>& pixels,
   std::fclose(f);
   if (got != data.size()) return false;
   if (!(data[0] == 0xFF && data[1] == 0xD8)) return false;  // not a JPEG
+  // EXIF-rotated images go through the Python fallback (see exif_orientation).
+  if (exif_orientation(data.data(), data.size()) != 1) return false;
 
   jpeg_decompress_struct cinfo;
   JpegErr jerr;

@@ -213,19 +213,25 @@ def _packed_topk(scores: jnp.ndarray, k: int):
     (f32 key, s32 iota) pair sort — half the sort traffic.
 
     Packs the high 16 bits of each non-negative f32 score (IEEE bit pattern
-    is order-preserving for non-negative floats) with ``0xFFFF - index`` in
-    the low 16 bits, so a single integer sort yields score-descending,
-    index-ascending (stable) order. Scores are returned EXACT (gathered by
-    index); only membership at the k-th-rank boundary can differ from exact
-    top-k, for candidates whose scores agree in their top 16 bits (<0.4%
-    relative gap) — noise-level for detection, since rank-k candidates face
-    NMS and a 100-detection budget anyway.
+    is order-preserving for non-negative floats; inputs are clamped to >= 0
+    to keep that precondition) with ``0xFFFF - index`` in the low 16 bits,
+    so a single integer sort yields score-descending, index-ascending
+    (stable) order. Scores are returned EXACT (gathered by index); only
+    membership at the k-th-rank boundary can differ from exact top-k, for
+    candidates whose scores agree in their top 16 bits. Truncating f32 to
+    its high 16 bits keeps 7 mantissa bits, i.e. candidates within a 2^-7
+    (~0.8%) relative gap of the boundary score can tie — noise-level for
+    detection, since rank-k candidates face NMS and a 100-detection budget
+    anyway, but NOT bit-identical to exact top-k in those tie cases.
 
     A > 65536 (D1-D7 anchor counts) is handled hierarchically: per-chunk
     packed sorts of 65536 anchors, then an exact lax.top_k merge of the
     (num_chunks * k) survivors — exact top-k of each chunk contains the
     global top-k members from that chunk, so the union is sufficient.
     """
+    # u32 bit-pattern order breaks for negative floats (they'd sort above
+    # all positives); clamp rather than trust the caller's thresholding.
+    scores = jnp.maximum(scores, 0.0)
     b, a = scores.shape
     chunk = 0x10000
 
@@ -281,7 +287,12 @@ def batched_nms_from_scores(scores_all: jnp.ndarray,   # (B, A)
 
     method: 'pallas' (VMEM-resident greedy kernel, kernels/nms_kernel.py),
     'select' (lax.scan formulation), or 'auto' — pallas on TPU backends,
-    scan elsewhere. Identical results either way.
+    scan elsewhere. The suppression logic is identical; the pallas path
+    selects candidates with ``_packed_topk``, whose MEMBERSHIP at the
+    k-th-rank boundary is approximate (see its docstring): when candidates
+    near rank k agree in their top 16 score bits, 'auto' can emit different
+    boundary detections on TPU vs CPU. Pass method='select' (exact
+    lax.top_k) when strict cross-backend determinism matters.
     """
     num_anchors = scores_all.shape[1]
     k = min(pre_nms_top_k, num_anchors)

@@ -82,43 +82,71 @@ def get_learning_rate(opt_state) -> float:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Rewrite the injected LR inside an opt_state pytree (host-side)."""
-    inner = _inner_opt_state(opt_state)
-    inner.hyperparams["learning_rate"] = jnp.asarray(
-        lr, dtype=inner.hyperparams["learning_rate"].dtype)
-    return opt_state
+    """Return a NEW opt_state with the injected LR replaced.
+
+    Purely functional (no in-place pytree mutation): the state may be a jit
+    output or a donated buffer, where aliasing would corrupt silently."""
+    import optax.tree_utils as otu
+    old = _inner_opt_state(opt_state).hyperparams["learning_rate"]
+    return otu.tree_set(opt_state,
+                        learning_rate=jnp.asarray(lr, dtype=old.dtype))
 
 
 class PlateauScheduler:
-    """ReduceLROnPlateau with torch semantics (reference train.py:270):
-    mode=min, threshold-less; shrink LR by `factor` after `patience` epochs
-    without improvement."""
+    """ReduceLROnPlateau with full torch semantics (reference train.py:270):
+    mode=min, rel-threshold 1e-4 (an epoch only counts as an improvement if
+    it beats best*(1-threshold)), cooldown epochs after each decay during
+    which bad-epoch counting is suspended — torch's defaults, which the
+    round-1 version omitted (it decayed later than torch under noisy
+    losses, VERDICT.md weak #7)."""
 
     def __init__(self, factor: float = 0.1, patience: int = 3,
-                 min_lr: float = 0.0):
+                 min_lr: float = 0.0, threshold: float = 1e-4,
+                 cooldown: int = 0):
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
+        self.cooldown = cooldown
         self.best = float("inf")
         self.bad_epochs = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, metric: float) -> bool:
+        # torch rel-mode: metric < best * (1 - threshold)
+        return metric < self.best * (1.0 - self.threshold)
 
     def step(self, metric: float, lr: float) -> float:
-        if metric < self.best:
+        # Exact torch ReduceLROnPlateau.step ordering.
+        if self._is_better(metric):
             self.best = metric
             self.bad_epochs = 0
-            return lr
-        self.bad_epochs += 1
+        else:
+            self.bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad_epochs = 0
         if self.bad_epochs > self.patience:
             self.bad_epochs = 0
+            self.cooldown_counter = self.cooldown
             return max(lr * self.factor, self.min_lr)
         return lr
+
+
+def init_variables(model: EfficientDet, rng: jax.Array, input_size: int,
+                   batch_size: int = 1):
+    """``model.init`` under jit: one compile (persistently cacheable) instead
+    of eagerly dispatching every op — ~40x faster on the 1-core test host."""
+    def init_fn(r):
+        return model.init(r, jnp.zeros((batch_size, input_size,
+                                        input_size, 3), jnp.float32))
+    return jax.jit(init_fn)(rng)
 
 
 def create_train_state(model: EfficientDet, rng: jax.Array, input_size: int,
                        opt_cfg: Optional[OptimizerConfig] = None,
                        batch_size: int = 1) -> TrainState:
-    variables = model.init(rng, jnp.zeros((batch_size, input_size,
-                                           input_size, 3), jnp.float32))
+    variables = init_variables(model, rng, input_size, batch_size)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(opt_cfg or OptimizerConfig())

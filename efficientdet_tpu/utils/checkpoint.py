@@ -107,7 +107,12 @@ def _split_step_dir(path: str) -> Tuple[str, Optional[int]]:
     """
     path = os.path.abspath(path)
     base = os.path.basename(path)
-    if base.isdigit() and not os.path.exists(os.path.join(path, _CONFIG_FILE)):
+    # Only treat an all-digit basename as a step dir if it actually exists
+    # as a directory without a config file — otherwise a not-yet-created
+    # root whose NAME is digits (e.g. runs/20260817) would be misread as
+    # (runs, step=20260817).
+    if (base.isdigit() and os.path.isdir(path)
+            and not os.path.exists(os.path.join(path, _CONFIG_FILE))):
         return os.path.dirname(path), int(base)
     return path, None
 

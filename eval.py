@@ -43,12 +43,20 @@ def parse_args():
     p.add_argument("--native_loader", default="auto",
                    choices=["auto", "on", "off"],
                    help="C++ decode pipeline for eval batches")
+    p.add_argument("--platform", default="auto",
+                   help="jax platform pin (e.g. 'cpu'); flag, not env — a "
+                        "site hook may pre-import jax before JAX_PLATFORMS")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    from efficientdet_tpu.utils import jax_setup
+    jax_setup.enable_compilation_cache()
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from efficientdet_tpu import EFFICIENTDET, DetectorConfig
     from efficientdet_tpu.data import (CocoDataset, SyntheticDetection,

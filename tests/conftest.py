@@ -25,7 +25,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 
 # Persistent compilation cache: the host has a single CPU core, so XLA
-# compiles dominate test wall-time; cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# compiles dominate test wall-time; cache them across runs. Must go through
+# jax.config (env vars are too late — the site hook already imported jax).
+from efficientdet_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -127,6 +127,52 @@ def voc_root(tmp_path):
     return str(tmp_path)
 
 
+def test_synthetic_load_annotations_original_resolution():
+    """load_annotations must return ORIGINAL-resolution GT (VOC/COCO
+    contract): evaluate_model divides detections by scale before matching,
+    so post-transform boxes would mis-score when image_size != input_size."""
+    ds = SyntheticDetection(length=2, image_size=256, num_classes=4,
+                            transform=eval_transforms(128), seed=3)
+    sample = ds[0]
+    assert sample["img"].shape == (128, 128, 3)
+    assert sample["scale"] == pytest.approx(0.5)
+    raw = ds.load_annotations(0)
+    np.testing.assert_allclose(sample["annot"][:, :4], raw[:, :4] * 0.5,
+                               rtol=1e-6)
+    np.testing.assert_array_equal(sample["annot"][:, 4], raw[:, 4])
+
+
+def test_prefetch_iter_reraises_worker_exception():
+    """Worker exceptions must crash the consumer loudly, not truncate the
+    stream (a silently-partial eval would report wrong metrics)."""
+    from efficientdet_tpu.data.loader import prefetch_iter
+
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    it = prefetch_iter(gen(), depth=1)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="decode failed"):
+        next(it)
+
+
+def test_dataloader_propagates_dataset_errors():
+    class Broken(SyntheticDetection):
+        def __getitem__(self, i):
+            if i == 3:
+                raise RuntimeError("bad sample")
+            return super().__getitem__(i)
+
+    ds = Broken(length=4, image_size=64, num_classes=2,
+                transform=eval_transforms(64))
+    loader = DataLoader(ds, batch_size=2, shuffle=False, max_boxes=4)
+    with pytest.raises(RuntimeError, match="bad sample"):
+        list(loader)
+
+
 def test_parse_voc_xml(voc_root):
     path = os.path.join(voc_root, "VOC2007", "Annotations", "000001.xml")
     out = parse_voc_xml(path)

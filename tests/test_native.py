@@ -71,6 +71,37 @@ def test_batch_matches_python_transforms(jpeg_dir, size):
         assert np.abs(imgs[i] - ref_img).max() < 0.02
 
 
+def _splice_exif_orientation(jpeg_bytes: bytes, orientation: int) -> bytes:
+    """Insert an APP1/EXIF segment with the given orientation after SOI."""
+    tiff = (b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big")
+            + (1).to_bytes(2, "big")                       # 1 IFD entry
+            + (0x0112).to_bytes(2, "big")                  # orientation tag
+            + (3).to_bytes(2, "big")                       # SHORT
+            + (1).to_bytes(4, "big")                       # count
+            + orientation.to_bytes(2, "big") + b"\x00\x00"
+            + (0).to_bytes(4, "big"))                      # next IFD
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    return jpeg_bytes[:2] + app1 + jpeg_bytes[2:]
+
+
+def test_exif_rotated_jpeg_falls_back(jpeg_dir, tmp_path):
+    """cv2.imread applies EXIF rotation; the native decoder doesn't, so an
+    EXIF-rotated image must be rejected (ok=0 -> Python fallback) rather
+    than silently trained on unrotated pixels."""
+    raw = open(jpeg_dir[0], "rb").read()
+    rotated = str(tmp_path / "rot.jpg")
+    with open(rotated, "wb") as f:
+        f.write(_splice_exif_orientation(raw, 6))
+    upright = str(tmp_path / "up.jpg")
+    with open(upright, "wb") as f:
+        f.write(_splice_exif_orientation(raw, 1))
+    imgs, scales, ok = native.decode_resize_batch(
+        [jpeg_dir[0], rotated, upright], 128)
+    assert ok[0] and not ok[1] and ok[2]
+    np.testing.assert_array_equal(imgs[0], imgs[2])
+
+
 def test_non_jpeg_falls_back(jpeg_dir, tmp_path):
     png = str(tmp_path / "x.png")
     cv2.imwrite(png, np.zeros((32, 32, 3), np.uint8))

@@ -48,9 +48,29 @@ def test_plateau_scheduler_semantics():
 def test_lr_get_set(setup):
     _, _, state, _ = setup
     assert abs(get_learning_rate(state.opt_state) - 1e-3) < 1e-9
-    set_learning_rate(state.opt_state, 5e-4)
-    assert abs(get_learning_rate(state.opt_state) - 5e-4) < 1e-9
-    set_learning_rate(state.opt_state, 1e-3)
+    new = set_learning_rate(state.opt_state, 5e-4)
+    assert abs(get_learning_rate(new) - 5e-4) < 1e-9
+    # purely functional: the original state is untouched (a mutated-in-place
+    # opt_state would corrupt silently once jit outputs/donation are involved)
+    assert abs(get_learning_rate(state.opt_state) - 1e-3) < 1e-9
+
+
+def test_plateau_threshold_and_cooldown_torch_parity():
+    """torch ReduceLROnPlateau semantics: rel threshold 1e-4 (equal losses
+    are NOT improvements) and cooldown suspends bad-epoch counting."""
+    sch = PlateauScheduler(factor=0.1, patience=1, threshold=1e-4, cooldown=2)
+    lr = 1.0
+    lr = sch.step(1.0, lr)       # best=1.0
+    lr = sch.step(0.99995, lr)   # within rel threshold -> NOT an improvement
+    assert sch.bad_epochs == 1 and sch.best == 1.0
+    lr = sch.step(1.0, lr)       # bad 2 > patience -> decay, enter cooldown
+    assert lr == pytest.approx(0.1)
+    lr = sch.step(1.0, lr)       # cooldown 1: bad epochs stay 0
+    lr = sch.step(1.0, lr)       # cooldown 2
+    assert lr == pytest.approx(0.1) and sch.bad_epochs == 0
+    lr = sch.step(1.0, lr)       # bad 1
+    lr = sch.step(1.0, lr)       # bad 2 -> decay again
+    assert lr == pytest.approx(0.01)
 
 
 def test_grad_accumulation_state():

@@ -112,6 +112,24 @@ def test_checkpoint_step_dir_paths(tmp_path):
     assert next_epoch == 3
 
 
+def test_checkpoint_digit_named_root_not_a_step_dir(tmp_path):
+    """A nonexistent root whose NAME is digits (runs/20260817) must be
+    treated as an empty root, not as (runs, step=20260817)."""
+    root = str(tmp_path / "20260817")
+    assert ckpt.latest_epoch(root) is None
+    size = 128
+    cfg = DetectorConfig(num_classes=2, network="efficientdet-d0",
+                         input_size=size).resolve()
+    model = EfficientDet(config=cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0), size,
+                               OptimizerConfig())
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore_checkpoint(root, state)
+    # and it works as a real manager root
+    ckpt.save_checkpoint(root, jax.device_get(state), cfg, epoch=0)
+    assert ckpt.latest_epoch(root) == 0
+
+
 def test_metric_logger(tmp_path):
     log = MetricLogger(str(tmp_path))
     log.update(0, loss=2.0)

@@ -69,6 +69,10 @@ def parse_args():
                    choices=["auto", "on", "off"],
                    help="C++ decode/augment pipeline (efficientdet_tpu."
                         "native); auto = use when buildable")
+    p.add_argument("--platform", default="auto",
+                   help="jax platform pin (e.g. 'cpu', 'tpu'); flag, not "
+                        "env, because a site hook on some rigs pre-imports "
+                        "jax so JAX_PLATFORMS is read too late")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic_length", type=int, default=64)
     p.add_argument("--log_every", type=int, default=50)
@@ -123,6 +127,11 @@ def build_dataset(args, train: bool, input_size: int):
 def main():
     args = parse_args()
     import jax
+
+    from efficientdet_tpu.utils import jax_setup
+    jax_setup.enable_compilation_cache()
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
     if args.multihost:
         jax.distributed.initialize()
     import jax.numpy as jnp
@@ -256,7 +265,8 @@ def main():
         if scheduler is not None:
             new_lr = scheduler.step(epoch_loss,
                                     get_learning_rate(state.opt_state))
-            set_learning_rate(state.opt_state, new_lr)
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, new_lr))
         if (epoch + 1) % args.save_every == 0:
             host_state = jax.device_get(state)
             path = ckpt.save_checkpoint(save_dir, host_state, cfg, epoch)
