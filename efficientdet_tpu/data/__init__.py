@@ -1,5 +1,10 @@
 """Data pipeline: VOC/COCO/synthetic datasets, transforms, loader."""
 
+from .augmentation import (CLAHE, HorizontalFlip, HueSaturationValue,
+                           LongestMaxSize, OneOf, PadIfNeeded,
+                           RandomBrightnessContrast, RandomFlip, RandomGamma,
+                           RandomResizedCrop, RGBShift, SquareResize,
+                           Transpose, VerticalFlip, get_augmentation)
 from .coco import CocoDataset
 from .loader import DataLoader, shard_batch
 from .synthetic import SyntheticDetection
@@ -13,4 +18,8 @@ __all__ = [
     "Augmenter", "Compose", "Normalizer", "PhotometricAugmenter", "Resizer",
     "collate", "eval_transforms", "pad_annotations", "train_transforms",
     "VOC_CLASSES", "VOCDetection", "parse_voc_xml",
+    "CLAHE", "HorizontalFlip", "HueSaturationValue", "LongestMaxSize",
+    "OneOf", "PadIfNeeded", "RandomBrightnessContrast", "RandomFlip",
+    "RandomGamma", "RandomResizedCrop", "RGBShift", "SquareResize",
+    "Transpose", "VerticalFlip", "get_augmentation",
 ]

@@ -105,25 +105,70 @@ class BiFPNModule(nn.Module):
 
 
 class BiFPN(nn.Module):
-    """Lateral projections + D_bifpn stacked fusion modules (reference BIFPN)."""
+    """Lateral projections + D_bifpn stacked fusion modules (reference BIFPN).
+
+    Extra-level construction (reference bifpn.py:110-128): when ``num_outs``
+    exceeds the number of fused backbone levels, the pyramid is extended on
+    top either by stride-2 subsampling (``add_extra_convs=False``; the
+    reference's ``F.max_pool2d(x, 1, stride=2)`` — kernel 1, i.e. pure
+    subsampling) or by stride-2 3x3 convs (RetinaNet style), the first of
+    which reads the last backbone input (``extra_convs_on_inputs=True``,
+    reference bifpn.py:119-121) or the last fused output, with an optional
+    ReLU before each subsequent extra conv (reference bifpn.py:123-127).
+    ``start_level``/``end_level`` slice the backbone levels fed to the
+    fusion stack exactly as the reference's constructor does
+    (bifpn.py:34-43).
+    """
 
     in_channels: Sequence[int]
     out_channels: int
     stack: int = 2
+    num_outs: int = -1          # -1: same as the number of fused levels
+    start_level: int = 0
+    end_level: int = -1
+    add_extra_convs: bool = False
+    extra_convs_on_inputs: bool = True
+    relu_before_extra_convs: bool = False
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         assert len(inputs) == len(self.in_channels)
+        end = (len(self.in_channels) if self.end_level == -1
+               else self.end_level)
+        fused_levels = end - self.start_level
+        num_outs = self.num_outs if self.num_outs > 0 else fused_levels
+        assert num_outs >= fused_levels, (
+            f"num_outs={num_outs} < {fused_levels} fused levels")
         laterals = [
             ConvSame(self.out_channels, 1, dtype=self.dtype,
                      kernel_init=xavier_uniform, name=f"lateral_conv_{i}")(x)
-            for i, x in enumerate(inputs)
+            for i, x in enumerate(inputs[self.start_level:end])
         ]
         for s in range(self.stack):
             laterals = BiFPNModule(channels=self.out_channels,
                                    levels=len(laterals), dtype=self.dtype,
                                    use_pallas=self.use_pallas,
                                    name=f"bifpn_{s}")(laterals)
-        return laterals
+        outs = list(laterals)
+        # part 2: extra levels (reference bifpn.py:110-128)
+        if num_outs > len(outs):
+            if not self.add_extra_convs:
+                for _ in range(num_outs - len(outs)):
+                    outs.append(outs[-1][:, ::2, ::2, :])
+            else:
+                for i in range(num_outs - len(outs)):
+                    if i == 0 and self.extra_convs_on_inputs:
+                        src = inputs[end - 1].astype(self.dtype)
+                    elif i == 0:
+                        src = outs[-1]
+                    else:
+                        src = (nn.relu(outs[-1])
+                               if self.relu_before_extra_convs else outs[-1])
+                    outs.append(
+                        ConvSame(self.out_channels, 3, stride=2,
+                                 torch_padding=1, dtype=self.dtype,
+                                 kernel_init=xavier_uniform,
+                                 name=f"extra_conv_{i}")(src))
+        return outs

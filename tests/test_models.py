@@ -53,6 +53,58 @@ def test_bifpn_shapes():
     np.testing.assert_allclose(p["bifpn_0"]["w1"], 0.5)
 
 
+def test_bifpn_extra_levels_subsample():
+    """<5 backbone levels extended on top by stride-2 subsampling
+    (reference bifpn.py:112-115, add_extra_convs=False)."""
+    chans = [40, 112, 320]
+    sizes = [32, 16, 8]
+    feats = [jnp.zeros((2, s, s, c)) for s, c in zip(sizes, chans)]
+    neck = BiFPN(in_channels=chans, out_channels=64, stack=1, num_outs=5)
+    params = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(params, feats)
+    assert [o.shape for o in outs] == [
+        (2, s, s, 64) for s in (32, 16, 8, 4, 2)]
+    # subsampled levels carry no extra params
+    assert "extra_conv_0" not in params["params"]
+
+
+def test_bifpn_extra_levels_convs():
+    """Extra stride-2 3x3 convs, first reading the raw backbone input
+    (reference bifpn.py:116-127, add_extra_convs=True)."""
+    chans = [40, 112, 320]
+    sizes = [32, 16, 8]
+    feats = [jnp.ones((1, s, s, c)) for s, c in zip(sizes, chans)]
+    neck = BiFPN(in_channels=chans, out_channels=64, stack=1, num_outs=5,
+                 add_extra_convs=True, extra_convs_on_inputs=True,
+                 relu_before_extra_convs=True)
+    params = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(params, feats)
+    assert [o.shape for o in outs] == [
+        (1, s, s, 64) for s in (32, 16, 8, 4, 2)]
+    # first extra conv reads the 320-ch raw input, second the 64-ch output
+    p = params["params"]
+    assert p["extra_conv_0"]["conv"]["kernel"].shape == (3, 3, 320, 64)
+    assert p["extra_conv_1"]["conv"]["kernel"].shape == (3, 3, 64, 64)
+
+
+def test_bifpn_start_level_slices_inputs():
+    """start_level drops the lowest pyramid levels before fusion
+    (reference bifpn.py:43, 100-102)."""
+    chans = [24, 40, 112, 320]
+    sizes = [64, 32, 16, 8]
+    feats = [jnp.zeros((1, s, s, c)) for s, c in zip(sizes, chans)]
+    neck = BiFPN(in_channels=chans, out_channels=32, stack=1,
+                 start_level=1, num_outs=3)
+    params = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(params, feats)
+    assert [o.shape for o in outs] == [(1, s, s, 32) for s in (32, 16, 8)]
+    # only 3 lateral convs, for inputs 1..3
+    p = params["params"]
+    assert "lateral_conv_0" in p and "lateral_conv_2" in p
+    assert "lateral_conv_3" not in p
+    assert p["lateral_conv_0"]["conv"]["kernel"].shape == (1, 1, 40, 32)
+
+
 def test_retina_head_shapes_and_prior():
     head = RetinaHead(num_classes=20, in_channels=64)
     feats = [jnp.zeros((2, s, s, 64)) for s in [16, 8, 4, 2, 1]]

@@ -19,6 +19,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow  # full-model compiles + torch forwards
+
 import jax
 import jax.numpy as jnp
 
@@ -142,6 +144,69 @@ def test_full_model_parity(torch_d0, jax_d0):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_reg), ref_reg, rtol=1e-3,
                                atol=1e-4)
+
+
+def test_pretrained_pth_blob_import_end_to_end(ref_modules, tmp_path):
+    """Exercise the real published-blob import path with a byte-format-
+    identical local fixture (no egress in this environment).
+
+    The reference loads the lukemelas URL_MAP blobs with a STRICT
+    ``model.load_state_dict(state_dict)`` (reference models/utils.py:317-321),
+    so the reference model's own ``state_dict()`` keys ARE the published
+    schema — including the ``_conv_head``/``_bn1``/``_fc`` classifier keys a
+    detector backbone must skip. torch.save that state_dict as a ``.pth``,
+    push it through ``load_pretrained_backbone(path=...)`` (the same code
+    path a downloaded blob takes), and assert the flax backbone reproduces
+    the torch pyramid. Fails if the import mapping drifts from the published
+    key schema."""
+    effnet, _, _ = ref_modules
+    from efficientdet_tpu.utils.pretrained import load_pretrained_backbone
+
+    torch.manual_seed(7)
+    ref = effnet.EfficientNet.from_name("efficientnet-b0")
+    ref.eval()
+    _randomize_bn_stats(ref, seed=7)
+    blob = tmp_path / "efficientnet-b0-fixture.pth"
+    torch.save(ref.state_dict(), str(blob))
+
+    cfg = DetectorConfig(num_classes=20, network="efficientdet-d0",
+                         input_size=SIZE).resolve()
+    model = EfficientDet(config=cfg)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, SIZE, SIZE, 3)))
+    variables = jax.tree.map(np.asarray, variables)
+    variables = load_pretrained_backbone("efficientnet-b0", variables,
+                                         path=str(blob))
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, SIZE, SIZE, 3).astype(np.float32)
+    with torch.no_grad():
+        # reference EfficientNet.forward returns the 7-level feature pyramid
+        ref_feats = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got_feats = model.apply(variables, jnp.asarray(x),
+                            method=lambda m, im: m.backbone(im, False))
+    assert len(got_feats) == len(ref_feats) == 7
+    for i, (g, r) in enumerate(zip(got_feats, ref_feats)):
+        r = r.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"stage {i}")
+
+
+def test_pretrained_blob_key_schema_frozen(ref_modules):
+    """The import mapping must consume EXACTLY the published key schema:
+    every key of a reference-built state_dict maps (or is an explicit
+    classifier-head skip), and no silently-unconsumed key class exists."""
+    effnet, _, _ = ref_modules
+    ref = effnet.EfficientNet.from_name("efficientnet-b0")
+    skipped = []
+    for k in ref.state_dict():
+        if "num_batches_tracked" in k:
+            continue
+        mapped = torch_import._map_backbone_key(k)  # raises on unknown keys
+        if mapped is None:
+            skipped.append(k.split(".")[0])
+    # only the classifier-head pieces may be skipped
+    assert set(skipped) == {"_conv_head", "_bn1", "_fc"}, sorted(set(skipped))
 
 
 def test_import_rejects_shape_mismatch(jax_d0):

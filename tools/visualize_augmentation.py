@@ -29,14 +29,21 @@ def main():
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--out", default="/tmp/aug_vis")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--augment", default="basic", choices=["basic", "full"],
+                   help="full = the reference albumentations recipe "
+                        "(crop/flip/transpose/photometric/CLAHE)")
     args = p.parse_args()
 
     import cv2
     from efficientdet_tpu.data import (SyntheticDetection, VOCDetection,
-                                       train_transforms)
+                                       get_augmentation, train_transforms)
     from efficientdet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-    tf = train_transforms(args.size, photometric=True, seed=args.seed)
+    if args.augment == "full":
+        tf = get_augmentation("train", width=args.size, height=args.size,
+                              seed=args.seed)
+    else:
+        tf = train_transforms(args.size, photometric=True, seed=args.seed)
     if args.dataset == "VOC":
         ds = VOCDetection(args.dataset_root,
                           image_sets=[("2007", "trainval")], transform=tf)

@@ -69,6 +69,11 @@ def parse_args():
                    choices=["auto", "on", "off"],
                    help="C++ decode/augment pipeline (efficientdet_tpu."
                         "native); auto = use when buildable")
+    p.add_argument("--augment", default="basic", choices=["basic", "full"],
+                   help="basic = reference train.py's Normalizer/Augmenter/"
+                        "Resizer; full = the reference's albumentations "
+                        "recipe (bbox-aware crop, flips, transpose, "
+                        "photometric, CLAHE)")
     p.add_argument("--platform", default="auto",
                    help="jax platform pin (e.g. 'cpu', 'tpu'); flag, not "
                         "env, because a site hook on some rigs pre-imports "
@@ -102,9 +107,15 @@ def parse_args():
 def build_dataset(args, train: bool, input_size: int):
     from efficientdet_tpu.data import (CocoDataset, SyntheticDetection,
                                        VOCDetection, eval_transforms,
-                                       train_transforms)
-    tf = (train_transforms(input_size, seed=args.seed) if train
-          else eval_transforms(input_size))
+                                       get_augmentation, train_transforms)
+    if train and args.augment == "full":
+        # the reference's albumentations recipe (datasets/augmentation.py:8-50)
+        tf = get_augmentation("train", width=input_size, height=input_size,
+                              seed=args.seed)
+    elif train:
+        tf = train_transforms(input_size, seed=args.seed)
+    else:
+        tf = eval_transforms(input_size)
     if args.dataset == "VOC":
         sets = ([("2007", "trainval"), ("2012", "trainval")] if train
                 else [("2007", "test")])
@@ -187,9 +198,12 @@ def main():
 
     state = put_replicated(state, mesh)
     train_step = shard_train_step(make_train_step(model, cfg), mesh)
+    # the native C++ pipeline implements the basic transform stack only;
+    # the full augmentation recipe runs through the dataset's Python path
+    train_native = "off" if args.augment == "full" else args.native_loader
     loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                         max_boxes=args.max_boxes, seed=args.seed,
-                        native=args.native_loader, image_size=input_size,
+                        native=train_native, image_size=input_size,
                         flip_prob=0.5)
     scheduler = (PlateauScheduler(factor=0.1, patience=args.lr_patience)
                  if args.lr_schedule == "plateau" else None)
