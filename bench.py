@@ -35,13 +35,24 @@ def _init_backend_with_retry():
     jax memoizes backend-init failure in-process, so the only clean retry
     is to re-exec this script; bounded by BENCH_INIT_RETRIES attempts with
     exponential backoff."""
-    import jax
+    import subprocess
+
     from efficientdet_tpu.utils.jax_setup import enable_compilation_cache
 
-    enable_compilation_cache()
     try:
+        # axon init can BLOCK indefinitely inside C (not raise) when the
+        # tunnel is wedged — SIGALRM can't interrupt it (GIL held), so probe
+        # init in a killable subprocess first and route a hang into the same
+        # bounded-retry path as an init error.
+        budget = int(os.environ.get("BENCH_INIT_TIMEOUT", "240"))
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=budget, check=True, capture_output=True)
+        import jax
+        enable_compilation_cache()
         return jax.devices()
-    except RuntimeError as e:
+    except (RuntimeError, subprocess.TimeoutExpired,
+            subprocess.CalledProcessError) as e:
         attempt = int(os.environ.get("_BENCH_INIT_ATTEMPT", "0"))
         max_tries = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
         if attempt + 1 >= max_tries:

@@ -127,6 +127,169 @@ def _kernel(x_ref, we_ref, a0_ref, wd_ref, a1_ref, out_ref, se_ref,
         se_ref[0, :, :] = se_acc[:, :] / float(out_h * out_w)
 
 
+# --------------------------------------------------------------------------
+# v2: flattened-row formulation (MXU-friendly restructure of the kernel
+# above; see VERDICT round-1 item 4 and docs/DESIGN.md).
+#
+# Three structural changes vs the kernel above:
+#
+# 1. FLAT ROWS. XLA pre-flattens each input tile to a 2-D (R, Cin+1) array
+#    (R = phases * tile_rows * padded_width), so the expand conv is ONE
+#    plain 2-D matmul (R, Cin+1) @ (Cin+1, Ce) — no 3-D dot_general for
+#    Mosaic to lower badly — and every depthwise tap becomes a STATIC
+#    sublane-shifted slice y[start : start + tile_o*Wq] of the flattened
+#    array: zero reshapes/copies inside the tap loop.
+# 2. PHASE SPLIT OUTSIDE. For stride 2 the padded input is deinterleaved
+#    into s*s spatial phases by XLA (cheap HBM-level copy of the SMALL
+#    pre-expansion tensor); tap (di, dj) then reads phase
+#    (di%s, dj%s) at flat offset (di//s)*Wq + dj//s — again a static
+#    slice, replacing the per-tap phase reshapes that dominated v1's cost.
+# 3. BIAS AS INPUT CHANNEL. The BN0 affine is folded INTO the matmul:
+#    W' = W_expand * scale0 (per out-channel), plus one extra input
+#    channel holding the valid-pixel mask with weight row bias0, so
+#    y_pre = scale0*(x@W) + bias0 at real pixels and EXACTLY 0 at padding
+#    (swish(0) = 0) — padding correctness costs zero kernel ops instead of
+#    v1's iota/select masking.
+#
+# The accumulator runs at full padded width Wq per output row (garbage
+# right-edge columns are cut by the final static slice) so the k*k tap
+# loop is k*k fused multiply-adds over one (tile_o*Wq, Ce) tile.
+# --------------------------------------------------------------------------
+
+
+def _kernel_flat(x_ref, we_ref, wd_ref, a1_ref, out_ref, se_ref, se_acc, *,
+                 k: int, stride: int, tile_o: int, ti: int, wq: int,
+                 blk: int, out_w: int, out_h: int, num_tiles: int):
+    t = pl.program_id(1)
+    xs = x_ref[0, 0]                                     # (R, Cin+1)
+    y = jax.lax.dot_general(
+        xs, we_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (R, Ce)
+    y = y * jax.nn.sigmoid(y)                            # swish; 0 at pads
+    # bf16 like the XLA path's materialized expand output (and halves the
+    # tap-loop read bandwidth); accumulate back in f32.
+    y = y.astype(x_ref.dtype)
+
+    ce = we_ref.shape[1]
+    acc = jnp.zeros((tile_o * wq, ce), jnp.float32)
+    for di in range(k):
+        for dj in range(k):
+            p = (di % stride) * stride + (dj % stride)
+            start = p * blk + (di // stride) * wq + (dj // stride)
+            win = jax.lax.slice_in_dim(y, start, start + tile_o * wq, axis=0)
+            acc = acc + win.astype(jnp.float32) * \
+                wd_ref[di * k + dj, :][None, :]
+
+    z = acc * a1_ref[0, :][None, :] + a1_ref[1, :][None, :]
+    z = z * jax.nn.sigmoid(z)
+    z3 = z.reshape(tile_o, wq, ce)[:, :out_w, :]         # split + cut garbage
+    out_ref[0] = z3.astype(out_ref.dtype)
+
+    tile_sum = jnp.sum(z3, axis=(0, 1))[None, :]         # (1, Ce)
+
+    @pl.when(t == 0)
+    def _init():
+        se_acc[:, :] = jnp.zeros_like(se_acc)
+
+    se_acc[:, :] += tile_sum
+
+    @pl.when(t == num_tiles - 1)
+    def _emit():
+        se_ref[0, :, :] = se_acc[:, :] / float(out_h * out_w)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "interpret", "tile_o"))
+def fused_expand_dw_flat(x: jnp.ndarray,          # (B, H, W, Cin)
+                         w_expand: jnp.ndarray,   # (Cin, Ce)
+                         scale0: jnp.ndarray, bias0: jnp.ndarray,
+                         w_dw: jnp.ndarray,       # (K, K, Ce)
+                         scale1: jnp.ndarray, bias1: jnp.ndarray,
+                         stride: int = 1,
+                         tile_o: int = 8,
+                         interpret: bool = False):
+    """v2 of `fused_expand_dw` (see block comment above): same contract,
+    -> (z (B, Ho, Wo, Ce) x.dtype, se_mean (B, Ce) f32)."""
+    b, h, w, cin = x.shape
+    k = w_dw.shape[0]
+    ce = w_expand.shape[1]
+    s = stride
+    out_h = -(-h // s)
+    out_w = -(-w // s)
+    e = (k - 1) // s                      # extra halo rows/cols per phase
+    pt, _ = same_padding_1d(h, k, s)
+    pl_pad, _ = same_padding_1d(w, k, s)
+
+    while out_h % tile_o:
+        tile_o //= 2
+    num_tiles = out_h // tile_o
+    ti = tile_o + e                       # phase rows per tile
+    wq = -(-(out_w + e) // 8) * 8         # phase width, sublane-aligned
+    hq = out_h + e                        # phase rows total
+
+    # pad to exactly s*s phases of (hq, wq); mask channel marks real pixels
+    xm = jnp.concatenate(
+        [x, jnp.ones((b, h, w, 1), x.dtype)], axis=-1)
+    x_pad = jnp.pad(xm, ((0, 0), (pt, s * hq - h - pt),
+                         (pl_pad, s * wq - w - pl_pad), (0, 0)))
+    phases = [x_pad[:, pr::s, pc::s, :]           # each (B, hq, wq, Cin+1)
+              for pr in range(s) for pc in range(s)]
+    # tile rows with duplicated halos; flatten (rows, wq) per phase. Each
+    # phase slab gets 8 zero rows of tail slack so the last tap's
+    # (dj//s)-shifted slice (≤ e ≤ 4 entries past ti*wq) stays in bounds.
+    blk = ti * wq + 8
+    tiles = []
+    for t in range(num_tiles):
+        slabs = [jnp.pad(
+            jax.lax.slice_in_dim(p, t * tile_o, t * tile_o + ti, axis=1)
+            .reshape(b, ti * wq, cin + 1), ((0, 0), (0, 8), (0, 0)))
+            for p in phases]
+        tiles.append(jnp.concatenate(slabs, axis=1))  # (B, P*blk, Cin+1)
+    x_tiles = jnp.stack(tiles, axis=1)        # (B, NT, R, Cin+1)
+    r_rows = s * s * blk
+
+    dtype = x.dtype
+    # fold BN0 scale into the matmul; bias rides the mask channel
+    w_folded = jnp.concatenate(
+        [w_expand.astype(jnp.float32) * scale0[None, :],
+         bias0[None, :]], axis=0).astype(dtype)         # (Cin+1, Ce)
+    weights = [
+        w_folded,
+        w_dw.reshape(k * k, ce).astype(jnp.float32),
+        jnp.stack([scale1, bias1]).astype(jnp.float32),
+    ]
+    z, se = pl.pallas_call(
+        functools.partial(_kernel_flat, k=k, stride=s, tile_o=tile_o,
+                          ti=ti, wq=wq, blk=blk, out_w=out_w, out_h=out_h,
+                          num_tiles=num_tiles),
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, r_rows, cin + 1), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin + 1, ce), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * k, ce), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ce), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_o, out_w, ce), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ce), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, out_h, out_w, ce), dtype),
+            jax.ShapeDtypeStruct((b, 1, ce), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, ce), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_tiles, *weights)
+    return z, se[:, 0, :]
+
+
 @functools.partial(jax.jit, static_argnames=("stride", "interpret", "tile_o"))
 def fused_expand_dw(x: jnp.ndarray,          # (B, H, W, Cin)
                     w_expand: jnp.ndarray,   # (Cin, Ce)

@@ -158,8 +158,11 @@ def _mbconv_ref(x, we, s0, b0, wd, s1, b1, stride):
     (16, 16, 40, 240, 5, 1),   # block_4
     (24, 24, 16, 96, 3, 1),    # non-power-of-2 spatial
 ])
-def test_fused_expand_dw_matches_xla(h, w, cin, ce, k, s):
-    from efficientdet_tpu.kernels.mbconv_kernel import fused_expand_dw
+@pytest.mark.parametrize("impl", ["v1", "flat"])
+def test_fused_expand_dw_matches_xla(h, w, cin, ce, k, s, impl):
+    from efficientdet_tpu.kernels.mbconv_kernel import (fused_expand_dw,
+                                                        fused_expand_dw_flat)
+    fused = fused_expand_dw if impl == "v1" else fused_expand_dw_flat
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, h, w, cin).astype(np.float32))
     we = jnp.asarray(rng.randn(cin, ce).astype(np.float32) * 0.1)
@@ -169,8 +172,7 @@ def test_fused_expand_dw_matches_xla(h, w, cin, ce, k, s):
     s1 = jnp.asarray(rng.rand(ce).astype(np.float32) + 0.5)
     b1 = jnp.asarray(rng.randn(ce).astype(np.float32) * 0.1)
     zr, ser = _mbconv_ref(x, we, s0, b0, wd, s1, b1, s)
-    z, se = fused_expand_dw(x, we, s0, b0, wd, s1, b1, stride=s,
-                            interpret=True)
+    z, se = fused(x, we, s0, b0, wd, s1, b1, stride=s, interpret=True)
     np.testing.assert_allclose(np.asarray(z), np.asarray(zr),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(se), np.asarray(ser),

@@ -194,6 +194,7 @@ def test_detector_train_mode_dropconnect(d0_small):
     np.testing.assert_array_equal(np.asarray(e1[0]), np.asarray(e2[0]))
 
 
+@pytest.mark.slow  # heavy XLA compile
 def test_detector_bf16_compute(d0_small):
     cfg, _, params = d0_small
     model = EfficientDet(config=cfg, dtype=jnp.bfloat16)
@@ -203,6 +204,7 @@ def test_detector_bf16_compute(d0_small):
     assert np.isfinite(np.asarray(cls)).all()
 
 
+@pytest.mark.slow  # heavy XLA compile
 def test_detector_remat_matches(d0_small):
     cfg, model, params = d0_small
     rmodel = EfficientDet(config=cfg, remat=True)

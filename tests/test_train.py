@@ -83,6 +83,7 @@ def test_grad_accumulation_state():
     assert abs(get_learning_rate(state.opt_state) - 1e-4) < 1e-9
 
 
+@pytest.mark.slow  # heavy XLA compile
 def test_train_step_decreases_loss_overfit(setup):
     cfg, model, state, batch = setup
     # donation consumes the input buffers; keep the fixture's state intact
@@ -100,6 +101,7 @@ def test_train_step_decreases_loss_overfit(setup):
     assert float(metrics["grad_norm"]) >= 0
 
 
+@pytest.mark.slow  # heavy XLA compile
 def test_multichip_mesh_train_step(setup):
     cfg, model, _, _ = setup
     assert len(jax.devices()) == 8, "conftest should force 8 cpu devices"
@@ -148,6 +150,7 @@ def test_multichip_mesh_serving_step(setup):
                                np.asarray(det.boxes), rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow  # heavy XLA compile
 def test_trainable_bn_updates_batch_stats(setup):
     _, _, _, batch = setup
     cfg = DetectorConfig(num_classes=4, network="efficientdet-d0",

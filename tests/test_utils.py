@@ -180,6 +180,7 @@ def test_build_norm_registry():
         build_norm("SN")
 
 
+@pytest.mark.slow  # heavy XLA compile
 def test_classifier_logits_shape():
     m = EfficientNetClassifier(model_name="efficientnet-b0", num_classes=10)
     x = jnp.zeros((1, 128, 128, 3))
