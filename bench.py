@@ -98,7 +98,8 @@ def main():
     from efficientdet_tpu.train import (OptimizerConfig, create_train_state,
                                         make_eval_step, make_train_step)
 
-    mode = os.environ.get("BENCH_MODE", "infer")  # infer|latency|train|pallas
+    # infer|latency|train|pallas|fusedmb|approx
+    mode = os.environ.get("BENCH_MODE", "infer")
     network = os.environ.get("BENCH_NETWORK", "efficientdet-d0")
     # measured v5e throughput for D0@512 with the serving path (packed
     # class reduction + u32-packed top-k + Pallas NMS):
@@ -108,6 +109,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     cfg = DetectorConfig(num_classes=80, network=network).resolve()
+    if mode == "approx":
+        # A/B: lax.approx_max_k (TPU PartialReduce, the hardware
+        # radix-select) vs the default u32 packed-sort candidate selection
+        import dataclasses
+        cfg = dataclasses.replace(cfg, approx_topk=True)
     model = EfficientDet(config=cfg, dtype=jnp.bfloat16,
                          use_pallas_fusion=(mode == "pallas"))
     rng = np.random.RandomState(0)
@@ -148,7 +154,8 @@ def main():
             "vs_baseline": round(value / (baseline / 3), 3)}))
         return
 
-    step = jax.jit(make_eval_step(model, cfg))
+    step = jax.jit(make_eval_step(model, cfg,
+                                  fused_backbone=(mode == 'fusedmb')))
     dt = _bench_loop(step, (variables, images), iters)
 
     if mode == "latency":

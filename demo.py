@@ -31,7 +31,14 @@ def parse_args():
     p.add_argument("--input_size", type=int, default=None)
     p.add_argument("--file_name", default=None, help="input image path")
     p.add_argument("--output", default="docs/demo_output.png")
-    p.add_argument("--cam", action="store_true", help="webcam loop")
+    p.add_argument("--cam", action="store_true", help="webcam/video loop")
+    p.add_argument("--cam_source", default="0",
+                   help="camera index or video file path for --cam")
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="stop the --cam loop after N frames (0 = unlimited)")
+    p.add_argument("--no_display", action="store_true",
+                   help="headless --cam: skip imshow, write annotated frames "
+                        "to --output (as video if it ends in .avi/.mp4)")
     p.add_argument("--score_threshold", type=float, default=0.3)
     p.add_argument("--iou_threshold", type=float, default=0.5)
     p.add_argument("--dataset_classes", default="VOC",
@@ -93,12 +100,19 @@ class Detect:
         scores = np.asarray(det.scores[0])[valid]
         return boxes, labels, scores
 
-    def camera(self):
+    def camera(self, source="0", max_frames=0, no_display=False,
+               output="docs/demo_cam.avi"):
+        """Webcam / video-stream loop with FPS overlay (reference
+        demo.py:132-170). ``source`` is a camera index or a video file path;
+        ``no_display`` writes annotated frames to ``output`` instead of
+        imshow (headless environments)."""
         import cv2
         from efficientdet_tpu.utils.visualization import draw_detections
-        cap = cv2.VideoCapture(0)
+        cap = cv2.VideoCapture(int(source) if source.isdigit() else source)
         if not cap.isOpened():
-            raise RuntimeError("cannot open webcam")
+            raise RuntimeError(f"cannot open capture source {source!r}")
+        writer = None
+        frames = 0
         while True:
             t0 = time.time()
             ok, frame = cap.read()
@@ -106,15 +120,36 @@ class Detect:
                 break
             rgb = frame[:, :, ::-1].astype(np.float32) / 255.0
             boxes, labels, scores = self.process(rgb)
-            draw_detections(frame, boxes, labels, scores, self.label_names)
+            frame = draw_detections(frame, boxes, labels, scores,
+                                    self.label_names)
             fps = 1.0 / max(time.time() - t0, 1e-6)
             cv2.putText(frame, f"FPS: {fps:.1f}", (10, 30),
                         cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 0, 255), 2)
-            cv2.imshow("EfficientDet-TPU", frame)
-            if cv2.waitKey(1) & 0xFF == ord("q"):
+            if no_display:
+                if writer is None and output.rsplit(".", 1)[-1] in (
+                        "avi", "mp4"):
+                    os.makedirs(os.path.dirname(output) or ".",
+                                exist_ok=True)
+                    writer = cv2.VideoWriter(
+                        output, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                        (frame.shape[1], frame.shape[0]))
+                if writer is not None:
+                    writer.write(frame)
+                print(f"frame {frames}: {len(boxes)} detections, "
+                      f"{fps:.1f} FPS")
+            else:
+                cv2.imshow("EfficientDet-TPU", frame)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+            frames += 1
+            if max_frames and frames >= max_frames:
                 break
         cap.release()
-        cv2.destroyAllWindows()
+        if writer is not None:
+            writer.release()
+            print(f"wrote {output} ({frames} frames)")
+        if not no_display:
+            cv2.destroyAllWindows()
 
 
 def main():
@@ -127,7 +162,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     det = Detect(args)
     if args.cam:
-        det.camera()
+        det.camera(args.cam_source, args.max_frames, args.no_display,
+                   args.output)
         return
     if not args.file_name:
         raise SystemExit("--file_name or --cam required")

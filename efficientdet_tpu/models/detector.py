@@ -13,7 +13,7 @@ reference's per-step host numpy regeneration (models/module.py:161-180).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -86,6 +86,15 @@ class EfficientDet(nn.Module):
         """
         features = self.backbone(images.astype(self.dtype), False)
         pyramid = self.neck(features[-5:])
+        return self.head(pyramid, reduce_classes=True)
+
+    def serving_from_features(self, features: Sequence[jnp.ndarray]
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """`serving_forward` continuation from precomputed backbone features
+        — entry point for the fused-Pallas backbone
+        (models/fused_serving.py), which computes the pyramid outside flax
+        from the same variables tree."""
+        pyramid = self.neck([f.astype(self.dtype) for f in features[-5:]])
         return self.head(pyramid, reduce_classes=True)
 
 

@@ -200,18 +200,30 @@ def make_train_step(model: EfficientDet, cfg: DetectorConfig
     return train_step
 
 
-def make_eval_step(model: EfficientDet, cfg: DetectorConfig):
+def make_eval_step(model: EfficientDet, cfg: DetectorConfig,
+                   fused_backbone: bool = False):
     """(variables, images) -> Detections, fully on device.
 
     Uses the serving forward (per-level class reduction on logits inside the
     head) — identical detections to apply + ``postprocess_detections``, but
-    the (B, A, C) probability tensor never touches HBM."""
+    the (B, A, C) probability tensor never touches HBM.
+
+    ``fused_backbone=True`` runs the backbone through the fused MBConv
+    Pallas kernels (models/fused_serving.py) reading the same variables
+    tree; requires frozen BN (the eval default) and an even input size."""
     cfg = cfg.resolve()
     anchors = anchors_for_config(cfg)
 
     def eval_step(variables, images):
-        scores, classes, box_deltas = model.apply(
-            variables, images, method=EfficientDet.serving_forward)
+        if fused_backbone:
+            from ..models.fused_serving import fused_backbone_forward
+            feats = fused_backbone_forward(
+                variables, images, cfg.backbone_name, dtype=model.dtype)
+            scores, classes, box_deltas = model.apply(
+                variables, feats, method=EfficientDet.serving_from_features)
+        else:
+            scores, classes, box_deltas = model.apply(
+                variables, images, method=EfficientDet.serving_forward)
         return postprocess_from_scores(scores, classes, box_deltas,
                                        anchors, cfg)
 

@@ -193,3 +193,46 @@ def test_fold_bn_affine():
     expected = (x - mean) / jnp.sqrt(var + eps) * gamma + beta
     np.testing.assert_allclose(np.asarray(x * scale + bias),
                                np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow  # full-backbone compile (XLA ref path)
+def test_fused_backbone_matches_flax(monkeypatch):
+    """fused_serving.fused_backbone_forward must reproduce the flax
+    backbone's frozen-BN feature pyramid from the SAME variables tree."""
+    import jax
+    from efficientdet_tpu.models import EfficientNetFeatures
+    from efficientdet_tpu.models.fused_serving import fused_backbone_forward
+
+    size = 128  # smallest input the 7-stage stride-128 pyramid supports
+    model = EfficientNetFeatures(model_name="efficientnet-b0",
+                                 dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # randomized BN stats so the affine fold is non-trivial
+    variables = jax.tree.map(np.asarray, variables)
+
+    def _randomize(node):
+        if isinstance(node, dict):
+            if "mean" in node and "var" in node:
+                node["mean"] = rng.randn(*node["mean"].shape).astype(
+                    np.float32) * 0.3
+                node["var"] = rng.rand(*node["var"].shape).astype(
+                    np.float32) + 0.5
+            else:
+                for v in node.values():
+                    _randomize(v)
+
+    _randomize(variables["batch_stats"])
+    ref = model.apply(variables, x, False)
+    # fused reader expects the ("backbone", ...) nesting the detector uses
+    nested = {"params": {"backbone": variables["params"]},
+              "batch_stats": {"batch_stats": None}}
+    nested["batch_stats"] = {"backbone": variables["batch_stats"]}
+    got = fused_backbone_forward(nested, x, "efficientnet-b0",
+                                 dtype=jnp.float32, interpret=True)
+    assert len(got) == len(ref) == 7
+    for i, (g, r) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"stage {i}")

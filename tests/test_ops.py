@@ -516,3 +516,33 @@ def test_packed_topk_all_zero_scores():
         s, i = _packed_topk(jnp.zeros((2, a)), 16)
         assert np.all(np.asarray(s) == 0.0)
         assert np.all((np.asarray(i) >= 0) & (np.asarray(i) < a))
+
+
+def test_batched_nms_from_scores_approx_topk_close():
+    """Serving path with approx_max_k candidate selection (the TPU
+    PartialReduce radix-select): on well-separated strong anchors it must
+    emit the same detections as the exact path."""
+    from efficientdet_tpu.ops.nms import batched_nms_from_scores
+
+    anchors = np.asarray(anchors_for_image_size(128))
+    A = anchors.shape[0]
+    rng = np.random.RandomState(3)
+    scores = np.full((2, A), 1e-4, np.float32)
+    classes = rng.randint(0, 5, (2, A)).astype(np.int32)
+    for row in range(2):
+        idx = np.linspace(0, A - 10, 9).astype(int) + row
+        scores[row, idx] = np.linspace(0.95, 0.55, 9)
+    deltas = np.zeros((2, A, 4), np.float32)
+    kw = dict(score_threshold=0.05, iou_threshold=0.5, pre_nms_top_k=64,
+              max_detections=16, method="select")
+    exact = batched_nms_from_scores(
+        jnp.array(scores), jnp.array(classes), jnp.array(deltas),
+        jnp.array(anchors), 128, 128, **kw)
+    approx = batched_nms_from_scores(
+        jnp.array(scores), jnp.array(classes), jnp.array(deltas),
+        jnp.array(anchors), 128, 128, approx_topk=True, **kw)
+    np.testing.assert_array_equal(np.asarray(exact.valid),
+                                  np.asarray(approx.valid))
+    ex = np.asarray(exact.scores)[np.asarray(exact.valid)]
+    ap = np.asarray(approx.scores)[np.asarray(approx.valid)]
+    np.testing.assert_allclose(np.sort(ex), np.sort(ap), rtol=1e-6)
