@@ -12,9 +12,14 @@ division (train.py:154-171, 237-258, 311-326). On TPU this collapses to:
 - per-host data sharding is exact by construction (fixes the reference's
   missing DistributedSampler, train.py:199-204).
 
-A 'model' axis is reserved for future spatial/model sharding of D5-D7
-activations (SURVEY.md section 7 "hard parts"); data parallelism is full
-capability parity with the reference.
+Beyond reference parity, the mesh carries a second axis, 'spatial', which
+shards the image HEIGHT dimension of activations across devices: XLA's SPMD
+partitioner inserts the halo exchanges every conv/pool window needs, so a
+D5-D7 activation footprint (1280-1636 px, SURVEY.md section 7 "hard parts")
+divides across chips with no model code changes. The reference has no
+equivalent (it requires the whole activation to fit one GPU); this is the
+TPU-native answer, following the pjit/scaling-book recipe: annotate the
+sharding, let the compiler place the collectives on ICI.
 """
 
 from __future__ import annotations
@@ -27,15 +32,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(num_data: Optional[int] = None,
-                num_model: int = 1,
+                num_spatial: int = 1,
                 devices=None) -> Mesh:
-    """Mesh with axes ('data', 'model'); defaults to all devices on 'data'."""
+    """Mesh with axes ('data', 'spatial'); defaults to all devices on 'data'.
+
+    'spatial' > 1 divides activation height across devices (use for D5-D7
+    inputs that exceed per-chip HBM); on a real pod choose factors that map
+    'spatial' onto an ICI-adjacent submesh.
+    """
     devices = devices if devices is not None else jax.devices()
     if num_data is None:
-        num_data = len(devices) // num_model
-    grid = np.asarray(devices[:num_data * num_model]).reshape(
-        num_data, num_model)
-    return Mesh(grid, axis_names=("data", "model"))
+        num_data = len(devices) // num_spatial
+    grid = np.asarray(devices[:num_data * num_spatial]).reshape(
+        num_data, num_spatial)
+    return Mesh(grid, axis_names=("data", "spatial"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -43,19 +53,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) images: batch across 'data', height across 'spatial'."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    return {"images": image_sharding(mesh),
+            "annotations": batch_sharding(mesh),
+            "scales": batch_sharding(mesh)}
+
+
 def shard_train_step(train_step, mesh: Mesh):
-    """jit the train step with (replicated state, data-sharded batch) in and
-    (replicated state, replicated metrics) out; state buffers donated."""
+    """jit the train step with (replicated state, data/spatial-sharded batch)
+    in and (replicated state, replicated metrics) out; state donated."""
     repl = replicated(mesh)
-    data = batch_sharding(mesh)
     return jax.jit(
         train_step,
-        in_shardings=(repl, {"images": data, "annotations": data,
-                             "scales": data}, repl),
+        in_shardings=(repl, _batch_shardings(mesh), repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
@@ -63,14 +82,15 @@ def shard_train_step(train_step, mesh: Mesh):
 
 def shard_eval_step(eval_step, mesh: Mesh):
     repl = replicated(mesh)
-    data = batch_sharding(mesh)
-    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=data)
+    return jax.jit(eval_step, in_shardings=(repl, image_sharding(mesh)),
+                   out_shardings=batch_sharding(mesh))
 
 
 def put_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Host batch -> device arrays sharded on the data axis."""
-    ds = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, ds), batch)
+    """Host batch -> device arrays sharded per _batch_shardings."""
+    sh = _batch_shardings(mesh)
+    return {k: jax.device_put(v, sh.get(k, batch_sharding(mesh)))
+            for k, v in batch.items()}
 
 
 def put_replicated(tree, mesh: Mesh):

@@ -106,7 +106,7 @@ def test_multichip_mesh_train_step(setup):
     cfg, model, _, _ = setup
     assert len(jax.devices()) == 8, "conftest should force 8 cpu devices"
     mesh = create_mesh()
-    assert mesh.shape == {"data": 8, "model": 1}
+    assert mesh.shape == {"data": 8, "spatial": 1}
 
     state = create_train_state(model, jax.random.PRNGKey(0), SIZE)
     state = put_replicated(state, mesh)
@@ -194,3 +194,61 @@ def test_mesh_matches_single_device_loss(setup):
                                rtol=2e-4)
     np.testing.assert_allclose(np.asarray(single[1]), np.asarray(meshed[1]),
                                rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow  # heavy XLA compile (2x4 mesh partitioning)
+def test_spatial_sharded_train_step_matches_dp(setup):
+    """2 data x 4 spatial mesh: height-sharded conv training (XLA halo
+    exchanges) must produce the same loss as the plain data-parallel step."""
+    cfg, model, _, _ = setup
+    state = create_train_state(model, jax.random.PRNGKey(0), SIZE)
+    ds = SyntheticDetection(length=2, image_size=SIZE, num_classes=4,
+                            transform=eval_transforms(SIZE))
+    batch = collate([ds[0], ds[1]], max_boxes=8)
+
+    step_fn = make_train_step(model, cfg)
+    ref_mesh = create_mesh()  # 8-way data parallel
+    # shard_train_step donates the state; device_put may alias the source
+    # buffers, so give each mesh its own copy
+    ref_state = put_replicated(jax.tree.map(jnp.copy, state), ref_mesh)
+    # batch of 2 doesn't divide 8; replicate images to batch 8
+    big = {k: np.concatenate([v] * 4, axis=0) for k, v in batch.items()}
+    ref = shard_train_step(step_fn, ref_mesh)(
+        ref_state, put_batch(big, ref_mesh), jax.random.PRNGKey(1))[1]
+
+    sp_mesh = create_mesh(num_data=2, num_spatial=4)
+    assert sp_mesh.shape == {"data": 2, "spatial": 4}
+    sp_state = put_replicated(jax.tree.map(jnp.copy, state), sp_mesh)
+    sp_batch = put_batch(big, sp_mesh)
+    # images really are height-sharded
+    assert len(sp_batch["images"].sharding.device_set) == 8
+    sp = shard_train_step(step_fn, sp_mesh)(
+        sp_state, sp_batch, jax.random.PRNGKey(1))[1]
+
+    np.testing.assert_allclose(float(ref["loss"]), float(sp["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(ref["grad_norm"]),
+                               float(sp["grad_norm"]), rtol=2e-4)
+
+
+@pytest.mark.slow  # heavy XLA compile
+def test_spatial_sharded_serving_matches_single(setup):
+    cfg, model, state, _ = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    rng = np.random.RandomState(17)
+    images = rng.rand(4, SIZE, SIZE, 3).astype(np.float32)
+
+    eval_step = make_eval_step(model, cfg)
+    single = jax.jit(eval_step)(jax.device_put(variables),
+                                jax.device_put(images))
+
+    mesh = create_mesh(num_data=2, num_spatial=4)
+    det = shard_eval_step(eval_step, mesh)(
+        put_replicated(variables, mesh),
+        put_batch({"images": images}, mesh)["images"])
+    np.testing.assert_array_equal(np.asarray(single.classes),
+                                  np.asarray(det.classes))
+    np.testing.assert_allclose(np.asarray(single.scores),
+                               np.asarray(det.scores), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(single.boxes),
+                               np.asarray(det.boxes), rtol=1e-5, atol=1e-4)

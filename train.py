@@ -62,6 +62,10 @@ def parse_args():
                    help="rematerialize MBConv blocks (D5-D7 memory)")
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel width (default: all devices)")
+    p.add_argument("--spatial_shards", type=int, default=1,
+                   help="shard activation HEIGHT over this many devices "
+                        "(D5-D7 HBM relief; XLA inserts conv halo "
+                        "exchanges). data width x spatial_shards <= devices")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host pod: jax.distributed.initialize() "
                         "(replaces the reference's mp.spawn/init_process_group)")
@@ -171,11 +175,12 @@ def main():
         grad_clip_norm=args.grad_clip_norm,
         grad_accumulation_steps=args.grad_accumulation_steps)
 
-    mesh = create_mesh(args.num_devices)
+    mesh = create_mesh(args.num_devices, num_spatial=args.spatial_shards)
     n_data = mesh.shape["data"]
     assert args.batch_size % n_data == 0, \
         f"global batch {args.batch_size} must divide over {n_data} devices"
-    print(f"devices: {n_data} | global batch: {args.batch_size} "
+    print(f"devices: {n_data} data x {mesh.shape['spatial']} spatial "
+          f"| global batch: {args.batch_size} "
           f"| per-device: {args.batch_size // n_data}")
 
     rng = jax.random.PRNGKey(args.seed)
