@@ -237,3 +237,29 @@ def test_train_transforms_pipeline():
     s = ds[0]
     assert s["img"].shape == (64, 64, 3)
     assert s["scale"] == 64 / 96
+
+
+def test_voc_to_coco_converter_roundtrip(voc_root, tmp_path):
+    """tools/voc_to_coco.py: the converted COCO index must yield the same
+    images and (xyxy, label) annotations as the source VOC dataset."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "voc_to_coco", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "voc_to_coco.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "coco")
+    stats = mod.convert(voc_root, "trainval", out, "val2017")
+    assert stats["images"] == 2
+
+    voc = VOCDetection(voc_root, image_sets=[("2007", "trainval")])
+    coco = CocoDataset(out, set_name="val2017")
+    assert len(coco) == len(voc) == 2
+    for i in range(2):
+        v = voc.load_annotations(i)
+        c = coco.load_annotations(i)
+        np.testing.assert_allclose(c[:, :4], v[:, :4], atol=1e-6)
+        np.testing.assert_array_equal(c[:, 4], v[:, 4])
+        assert coco.label_names[int(c[0, 4])] == voc.label_to_name(
+            int(v[0, 4]))
