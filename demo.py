@@ -40,6 +40,8 @@ def parse_args():
                    help="headless --cam: skip imshow, write annotated frames "
                         "to --output (as video if it ends in .avi/.mp4)")
     p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--fused_backbone", action="store_true",
+                   help="fused-Pallas MBConv serving backbone (TPU)")
     p.add_argument("--iou_threshold", type=float, default=0.5)
     p.add_argument("--dataset_classes", default="VOC",
                    choices=["VOC", "COCO", "none"])
@@ -77,7 +79,10 @@ class Detect:
             jax.random.PRNGKey(0),
             jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))
         self.variables = ckpt.load_weights(args.weight, dict(variables))
-        self._step = jax.jit(make_eval_step(model, cfg))
+        self._step = jax.jit(make_eval_step(
+            model, cfg,
+            fused_backbone=getattr(args, 'fused_backbone',
+                                   False)))
         self._jnp = jnp
 
         if args.dataset_classes == "VOC":

@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--max_detections", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fused_backbone", action="store_true",
+                   help="serve the backbone through the fused-Pallas MBConv "
+                        "kernels (models/fused_serving.py; TPU, frozen BN)")
     p.add_argument("--results_json", default=None,
                    help="COCO: write results JSON here")
     p.add_argument("--synthetic_length", type=int, default=16)
@@ -106,7 +109,8 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))
     variables = ckpt.load_weights(args.weight, dict(variables))
-    eval_step = jax.jit(make_eval_step(model, cfg))
+    eval_step = jax.jit(make_eval_step(
+        model, cfg, fused_backbone=args.fused_backbone))
     eval_fn = lambda images: eval_step(variables, jnp.asarray(images))
 
     if args.dataset in ("VOC", "synthetic"):
