@@ -54,14 +54,16 @@ def _init_backend_with_retry():
     except (RuntimeError, subprocess.TimeoutExpired,
             subprocess.CalledProcessError) as e:
         attempt = int(os.environ.get("_BENCH_INIT_ATTEMPT", "0"))
-        max_tries = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
+        max_tries = int(os.environ.get("BENCH_INIT_RETRIES", "6"))
         if attempt + 1 >= max_tries:
             print(json.dumps({
                 "metric": "bench_error", "value": None, "unit": "error",
                 "vs_baseline": None,
                 "error": f"backend init failed after {max_tries} tries: {e}"}))
             sys.exit(1)
-        delay = 30.0 * (2 ** attempt)
+        # capped exponential backoff: tunnel wedges observed lasting >1h —
+        # a wider bounded window costs little and rides out short outages
+        delay = min(30.0 * (2 ** attempt), 300.0)
         print(f"backend init failed ({e}); retry {attempt + 1}/{max_tries} "
               f"in {delay:.0f}s", file=sys.stderr)
         time.sleep(delay)
