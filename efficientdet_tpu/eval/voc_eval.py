@@ -155,4 +155,13 @@ def evaluate_model(dataset, eval_fn, num_classes: int,
         for label in range(num_classes):
             print(f"{dataset.label_to_name(label)}: {aps[label][0]}")
         print(f"avg mAP: {mean_ap}")
+        # classes with zero ground truth count as AP 0 in the reference
+        # protocol (reference eval.py:227); also report the mean over
+        # classes that actually appear, which is the informative number on
+        # partial-vocabulary datasets
+        present = [aps[label][0] for label in range(num_classes)
+                   if aps[label][1] > 0]
+        if present and len(present) < num_classes:
+            print(f"avg mAP over {len(present)} present classes: "
+                  f"{float(np.mean(present))}")
     return mean_ap, aps
