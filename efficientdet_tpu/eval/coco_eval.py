@@ -42,38 +42,47 @@ def _box_iou_xyxy(d: np.ndarray, g: np.ndarray) -> np.ndarray:
 
 
 def _match_image(dets: np.ndarray, gts: np.ndarray, gt_ignore: np.ndarray,
-                 thr: float) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy score-ordered matching at one IoU threshold.
+                 thresholds: np.ndarray = IOU_THRESHOLDS
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy score-ordered matching at ALL IoU thresholds at once.
+
+    Vectorized over thresholds AND ground truths: one IoU matrix, then a
+    single Python loop over detections (which greedy matching inherently
+    requires — each pick consumes a GT). Replaces the per-detection x per-GT
+    x per-threshold triple loop that made full val2017-scale eval hours
+    where pycocotools' C (reference eval.py:330-334) is minutes.
+
+    COCO semantics (pycocotools cocoeval.py evaluateImg): detections in
+    descending score order each take the highest-IoU AVAILABLE gt with
+    IoU >= thr; a non-ignored gt always beats an ignored one regardless of
+    IoU (ignored gts are a fallback when no valid gt clears the threshold);
+    IoU ties resolve to the later gt index.
 
     dets: (D, 5) [x1,y1,x2,y2,score] ALREADY sorted by descending score.
-    Returns (det_matched_gt_idx or -1, det_ignored) per detection.
+    Returns (matched (T, D) gt index or -1, ignored (T, D) bool).
     """
+    T = len(thresholds)
     D, G = len(dets), len(gts)
-    matched = -np.ones(D, dtype=np.int64)
-    ignored = np.zeros(D, dtype=bool)
-    if G:
-        iou = _box_iou_xyxy(dets[:, :4], gts)
-    gt_taken = np.zeros(G, dtype=bool)
+    matched = -np.ones((T, D), dtype=np.int64)
+    ignored = np.zeros((T, D), dtype=bool)
+    if D == 0 or G == 0:
+        return matched, ignored
+    iou = _box_iou_xyxy(dets[:, :4], gts)               # (D, G)
+    thr_col = np.asarray(thresholds)[:, None]           # (T, 1)
+    gt_taken = np.zeros((T, G), dtype=bool)
+    gt_valid = ~gt_ignore                               # (G,)
+    rows = np.arange(T)
     for di in range(D):
-        best, best_iou = -1, thr - 1e-10
-        for gi in range(G):
-            if gt_taken[gi]:
-                continue
-            # prefer non-ignored gts: once we have a real match, only a
-            # better-IoU ignored gt can displace it is NOT allowed; COCO
-            # allows matching ignored gts only if no valid gt matches.
-            if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                continue
-            if iou[di, gi] < best_iou:
-                continue
-            # moving from valid to ignored only when no valid candidate
-            if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                continue
-            best, best_iou = gi, iou[di, gi]
-        if best > -1:
-            gt_taken[best] = True
-            matched[di] = best
-            ignored[di] = gt_ignore[best]
+        cand = (iou[di][None, :] >= thr_col) & ~gt_taken    # (T, G)
+        valid_cand = cand & gt_valid[None, :]
+        use_valid = valid_cand.any(axis=1)                  # (T,)
+        pool = np.where(use_valid[:, None], valid_cand, cand)
+        has = pool.any(axis=1)
+        masked = np.where(pool, iou[di][None, :], -1.0)
+        best = (G - 1) - masked[:, ::-1].argmax(axis=1)     # ties -> last gt
+        matched[:, di] = np.where(has, best, -1)
+        ignored[:, di] = has & gt_ignore[best]
+        gt_taken[rows[has], best[has]] = True
     return matched, ignored
 
 
@@ -120,13 +129,15 @@ class CocoEvaluator:
                 continue
             d_area = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
             scores_all.append(dets[:, 4])
-            for ti, thr in enumerate(IOU_THRESHOLDS):
-                matched, ignored = _match_image(dets, gts, gt_ignore, thr)
-                # unmatched dets outside the area range are ignored, not FP
-                out_of_range = (matched == -1) & ((d_area < area[0])
-                                                  | (d_area >= area[1]))
-                tp_all[ti].append((matched > -1) & ~ignored)
-                ignore_all[ti].append(ignored | out_of_range)
+            matched, ignored = _match_image(dets, gts, gt_ignore)  # (T, D)
+            # unmatched dets outside the area range are ignored, not FP
+            out_of_range = (matched == -1) & ((d_area < area[0])
+                                              | (d_area >= area[1]))[None, :]
+            tp_td = (matched > -1) & ~ignored
+            ign_td = ignored | out_of_range
+            for ti in range(T):
+                tp_all[ti].append(tp_td[ti])
+                ignore_all[ti].append(ign_td[ti])
         ap = np.zeros(T)
         rec = np.zeros(T)
         if num_gt == 0:
@@ -149,8 +160,7 @@ class CocoEvaluator:
             recall = tp_cum / num_gt
             precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-10)
             # make precision monotonically decreasing (COCO smoothing)
-            for i in range(len(precision) - 1, 0, -1):
-                precision[i - 1] = max(precision[i - 1], precision[i])
+            precision = np.maximum.accumulate(precision[::-1])[::-1]
             # 101-point interpolation
             idx = np.searchsorted(recall, RECALL_THRESHOLDS, side="left")
             prec_at = np.where(idx < len(precision),

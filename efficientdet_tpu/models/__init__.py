@@ -3,6 +3,7 @@
 from .bifpn import BiFPN, BiFPNModule
 from .classifier import EfficientNetClassifier
 from .detector import (EfficientDet, anchors_for_config, detection_loss,
+                       detection_loss_from_logits,
                        postprocess_detections, postprocess_from_scores)
 from .efficientnet import (EfficientNetFeatures, MBConvBlock,
                            backbone_feature_channels)
@@ -12,6 +13,7 @@ from .simple_head import ClassificationSubnet, RegressionSubnet
 __all__ = [
     "BiFPN", "BiFPNModule", "EfficientNetClassifier",
     "EfficientDet", "anchors_for_config", "detection_loss",
+    "detection_loss_from_logits",
     "postprocess_detections", "postprocess_from_scores",
     "EfficientNetFeatures", "MBConvBlock", "backbone_feature_channels",
     "RetinaHead", "bias_init_with_prob",

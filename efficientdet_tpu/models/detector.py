@@ -67,6 +67,20 @@ class EfficientDet(nn.Module):
         cls_probs, box_deltas = self.head(pyramid)
         return cls_probs.astype(jnp.float32), box_deltas.astype(jnp.float32)
 
+    def train_forward(self, images: jnp.ndarray, train: bool = True
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Training hot-path forward: (cls_logits, box_deltas) in the compute
+        dtype (bf16 under --bf16), pre-sigmoid, NOT cast to f32.
+
+        Pairs with ``detection_loss_from_logits``: the loss upcasts inside
+        its fused elementwise kernel, so the (B, A, C) tensor crosses HBM
+        once in bf16 and the f32 sigmoid tensor of the reference's training
+        path (models/efficientdet.py:57-68) never exists.
+        """
+        features = self.backbone(images.astype(self.dtype), train)
+        pyramid = self.neck(features[-5:])
+        return self.head(pyramid, return_logits=True)
+
     def extract_features(self, images: jnp.ndarray,
                          train: bool = False) -> List[jnp.ndarray]:
         """Backbone+neck pyramid (reference extract_feat, efficientdet.py:94-100)."""
@@ -112,6 +126,19 @@ def detection_loss(cls_probs: jnp.ndarray, box_deltas: jnp.ndarray,
     """(cls_loss, reg_loss) — the training objective (reference losses.py)."""
     return loss_ops.focal_loss(cls_probs, box_deltas, anchors, annotations,
                                alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)
+
+
+def detection_loss_from_logits(cls_logits: jnp.ndarray,
+                               box_deltas: jnp.ndarray,
+                               anchors: jnp.ndarray, annotations: jnp.ndarray,
+                               cfg: DetectorConfig
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cls_loss, reg_loss) from ``train_forward`` outputs — the stable,
+    bandwidth-minimal training objective (see ops/losses.py
+    focal_loss_from_logits)."""
+    return loss_ops.focal_loss_from_logits(
+        cls_logits, box_deltas, anchors, annotations,
+        alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)
 
 
 def postprocess_detections(cls_probs: jnp.ndarray, box_deltas: jnp.ndarray,

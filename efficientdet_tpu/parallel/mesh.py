@@ -86,10 +86,29 @@ def shard_eval_step(eval_step, mesh: Mesh):
                    out_shardings=batch_sharding(mesh))
 
 
-def put_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Host batch -> device arrays sharded per _batch_shardings."""
+def put_batch(batch: Dict, mesh: Mesh,
+              multiprocess: Optional[bool] = None) -> Dict:
+    """Host batch -> device arrays sharded per _batch_shardings.
+
+    Single-process: a plain sharded ``device_put``. Multi-host (``mesh``
+    spans processes, e.g. after ``jax.distributed.initialize()``): each
+    process passes only its OWN per-host slice of the global batch and
+    ``jax.make_array_from_process_local_data`` assembles the global array —
+    the per-host halves are disjoint by construction (DataLoader
+    shard_index/num_shards), which is the DistributedSampler the reference's
+    DDP path forgot (reference train.py:199-204). ``multiprocess`` defaults
+    to ``jax.process_count() > 1``; pass ``True`` to exercise the global
+    assembly path explicitly (it is also correct single-process).
+    """
     sh = _batch_shardings(mesh)
-    return {k: jax.device_put(v, sh.get(k, batch_sharding(mesh)))
+    default = batch_sharding(mesh)
+    if multiprocess is None:
+        multiprocess = jax.process_count() > 1
+    if multiprocess:
+        return {k: jax.make_array_from_process_local_data(
+                    sh.get(k, default), np.asarray(v))
+                for k, v in batch.items()}
+    return {k: jax.device_put(v, sh.get(k, default))
             for k, v in batch.items()}
 
 

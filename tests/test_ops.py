@@ -290,6 +290,64 @@ def test_focal_loss_all_empty_is_zero():
     assert float(c) == 0.0 and float(r) == 0.0
 
 
+@pytest.mark.parametrize("seed,empty", [(0, False), (2, True)])
+def test_focal_loss_logits_form_matches_prob_form(seed, empty):
+    """The training hot path (logits form) equals the probability form
+    wherever the latter's clip(1e-4) is inactive (|logit| < 9.2)."""
+    from efficientdet_tpu.ops import focal_loss_from_logits
+    cls, reg, anchors, ann = _random_loss_inputs(seed, empty_image=empty)
+    rng = np.random.RandomState(seed + 100)
+    logits = (rng.randn(*cls.shape) * 2.5).astype(np.float32)  # |x| << 9.2
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    got_c, got_r = jax.jit(focal_loss_from_logits)(
+        jnp.array(logits), jnp.array(reg), jnp.array(anchors), jnp.array(ann))
+    exp_c, exp_r = jax.jit(focal_loss)(
+        jnp.array(probs), jnp.array(reg), jnp.array(anchors), jnp.array(ann))
+    # rtol bounded by the f32 sigmoid round-trip (probs = sigmoid(logits) in
+    # numpy, then log re-derived on device), not by the formulation itself
+    np.testing.assert_allclose(got_c, exp_c, rtol=5e-4)
+    np.testing.assert_allclose(got_r, exp_r, rtol=1e-5, atol=1e-7)
+
+
+def test_focal_loss_logits_form_stable_when_saturated():
+    """Where the prob form clamps (|logit| > 9.2) the logits form stays
+    finite with nonzero gradient — the stability win over the reference's
+    clip(1e-4) formulation."""
+    from efficientdet_tpu.ops import focal_loss_from_logits
+    cls, reg, anchors, ann = _random_loss_inputs(5)
+    logits = np.full_like(cls, -30.0)  # heavily saturated negatives
+    logits[:, :, 0] = 30.0
+
+    def total(x):
+        lc, lr = focal_loss_from_logits(x, jnp.array(reg),
+                                        jnp.array(anchors), jnp.array(ann))
+        return lc + lr
+
+    val = total(jnp.array(logits))
+    g = jax.grad(total)(jnp.array(logits))
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_focal_loss_logits_accepts_bf16():
+    """bf16 logits/deltas (the bf16 training path) produce a loss close to
+    the f32 one — upcast happens inside the loss, not before it."""
+    from efficientdet_tpu.ops import focal_loss_from_logits
+    cls, reg, anchors, ann = _random_loss_inputs(6)
+    rng = np.random.RandomState(7)
+    logits = (rng.randn(*cls.shape) * 2.0).astype(np.float32)
+    c32, r32 = focal_loss_from_logits(jnp.array(logits), jnp.array(reg),
+                                      jnp.array(anchors), jnp.array(ann))
+    c16, r16 = focal_loss_from_logits(
+        jnp.array(logits, dtype=jnp.bfloat16),
+        jnp.array(reg, dtype=jnp.bfloat16),
+        jnp.array(anchors), jnp.array(ann))
+    assert c16.dtype == jnp.float32 and r16.dtype == jnp.float32
+    np.testing.assert_allclose(float(c16), float(c32), rtol=2e-2)
+    np.testing.assert_allclose(float(r16), float(r32), rtol=2e-2, atol=1e-4)
+
+
 def test_focal_loss_differentiable():
     cls, reg, anchors, ann = _random_loss_inputs(4)
 

@@ -252,3 +252,50 @@ def test_spatial_sharded_serving_matches_single(setup):
                                np.asarray(det.scores), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(single.boxes),
                                np.asarray(det.boxes), rtol=1e-5, atol=1e-4)
+
+
+def test_put_batch_global_assembly_matches_device_put(setup):
+    """The multi-host batch path (make_array_from_process_local_data,
+    exercised via multiprocess=True — correct single-process too) produces
+    the same global arrays and shardings as the device_put path, and feeds
+    the sharded train step identically."""
+    cfg, model, _, _ = setup
+    mesh = create_mesh()
+    ds = SyntheticDetection(length=8, image_size=SIZE, num_classes=4,
+                            transform=eval_transforms(SIZE))
+    batch = collate([ds[i] for i in range(8)], max_boxes=8)
+
+    via_global = put_batch(batch, mesh, multiprocess=True)
+    via_put = put_batch(batch, mesh, multiprocess=False)
+    for k in batch:
+        assert via_global[k].shape == via_put[k].shape
+        assert via_global[k].sharding == via_put[k].sharding
+        np.testing.assert_array_equal(np.asarray(via_global[k]),
+                                      np.asarray(via_put[k]))
+
+    state = put_replicated(
+        create_train_state(model, jax.random.PRNGKey(0), SIZE), mesh)
+    step = shard_train_step(make_train_step(model, cfg), mesh)
+    _, m = step(state, via_global, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_multihost_loader_composition_disjoint_exhaustive():
+    """Two simulated hosts wired exactly as train.py's --multihost path
+    (per-host batch = global/num_hosts, shard_index=process_index): per
+    epoch their index streams are disjoint, exhaustive, and same-length —
+    the DistributedSampler the reference's DDP forgot (train.py:199-204)."""
+    from efficientdet_tpu.data import DataLoader
+    ds = SyntheticDetection(length=24, image_size=16, num_classes=2)
+    global_batch, num_hosts = 8, 2
+    streams = []
+    for host in range(num_hosts):
+        dl = DataLoader(ds, global_batch // num_hosts, shuffle=True,
+                        max_boxes=4, seed=11,
+                        shard_index=host, num_shards=num_hosts)
+        dl._epoch = 1  # align epoch counter as after one __iter__
+        streams.append([idx.tolist() for idx in dl._batch_indices()])
+    # same number of steps per host (they advance in lockstep)
+    assert len(streams[0]) == len(streams[1]) == 24 // global_batch
+    flat = [i for s in streams for b in s for i in b]
+    assert sorted(flat) == list(range(24))   # disjoint + exhaustive

@@ -179,9 +179,20 @@ def main():
     n_data = mesh.shape["data"]
     assert args.batch_size % n_data == 0, \
         f"global batch {args.batch_size} must divide over {n_data} devices"
-    print(f"devices: {n_data} data x {mesh.shape['spatial']} spatial "
-          f"| global batch: {args.batch_size} "
-          f"| per-device: {args.batch_size // n_data}")
+    # per-host data sharding: each host loads a DISJOINT 1/num_hosts slice of
+    # the same global shuffle and 1/num_hosts of the global batch — the
+    # sampler the reference's DDP path forgot (train.py:199-204); put_batch
+    # assembles the per-host slices into one global array over the mesh.
+    num_hosts, host_id = jax.process_count(), jax.process_index()
+    assert args.batch_size % (num_hosts or 1) == 0, \
+        f"global batch {args.batch_size} must divide over {num_hosts} hosts"
+    host_batch = args.batch_size // num_hosts
+    is_chief = host_id == 0
+    if is_chief:
+        print(f"devices: {n_data} data x {mesh.shape['spatial']} spatial "
+              f"| hosts: {num_hosts} | global batch: {args.batch_size} "
+              f"| per-host: {host_batch} "
+              f"| per-device: {args.batch_size // n_data}")
 
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, rng, input_size, opt_cfg)
@@ -206,8 +217,9 @@ def main():
     # the native C++ pipeline implements the basic transform stack only;
     # the full augmentation recipe runs through the dataset's Python path
     train_native = "off" if args.augment == "full" else args.native_loader
-    loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+    loader = DataLoader(train_ds, host_batch, shuffle=True,
                         max_boxes=args.max_boxes, seed=args.seed,
+                        shard_index=host_id, num_shards=num_hosts,
                         native=train_native, image_size=input_size,
                         flip_prob=0.5)
     scheduler = (PlateauScheduler(factor=0.1, patience=args.lr_patience)
@@ -218,8 +230,9 @@ def main():
     val_loss_step = jax.jit(make_loss_step(model, cfg))
     try:
         val_ds = build_dataset(args, False, input_size)
-        val_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
+        val_loader = DataLoader(val_ds, host_batch, shuffle=False,
                                 max_boxes=args.max_boxes, drop_last=True,
+                                shard_index=host_id, num_shards=num_hosts,
                                 native=args.native_loader,
                                 image_size=input_size)
     except (FileNotFoundError, OSError):
@@ -229,12 +242,17 @@ def main():
         if val_loader is None or len(val_loader) == 0:
             return None
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        totals = []
+        # accumulate ON DEVICE, fetch once: a per-batch float() costs a full
+        # tunnel RTT and stalls the pipeline (same pattern as the train loop)
+        total = None
+        steps = 0
         for vbatch in val_loader:
             vbatch = put_batch(vbatch, mesh)
             lc, lr = val_loss_step(variables, vbatch)
-            totals.append(float(lc) + float(lr))
-        return float(np.mean(totals))
+            s = lc + lr
+            total = s if total is None else total + s
+            steps += 1
+        return float(jax.device_get(total)) / steps if steps else None
 
     from efficientdet_tpu.utils.visualization import MetricLogger
     logger = MetricLogger(args.log_dir, tensorboard=args.tensorboard)
@@ -257,7 +275,7 @@ def main():
             steps += 1
             loss_sum = (metrics["loss"] if loss_sum is None
                         else loss_sum + metrics["loss"])
-            if it % args.log_every == 0:
+            if it % args.log_every == 0 and is_chief:
                 m = jax.device_get(metrics)
                 lr_now = get_learning_rate(state.opt_state)
                 print(f"epoch {epoch} it {it}/{len(loader)} "
@@ -272,13 +290,14 @@ def main():
                       else float("nan"))
         dt = time.time() - t0
         ips = len(loader) * args.batch_size / max(dt, 1e-9)
-        print(f"epoch {epoch} done: loss {epoch_loss:.4f} "
-              f"({dt:.1f}s, {ips:.1f} img/s)")
-        logger.update(global_step, epoch=epoch, epoch_loss=epoch_loss,
-                      images_per_sec=ips)
+        if is_chief:
+            print(f"epoch {epoch} done: loss {epoch_loss:.4f} "
+                  f"({dt:.1f}s, {ips:.1f} img/s)")
+            logger.update(global_step, epoch=epoch, epoch_loss=epoch_loss,
+                          images_per_sec=ips)
         if args.eval_every and (epoch + 1) % args.eval_every == 0:
             val = validate()
-            if val is not None:
+            if val is not None and is_chief:
                 print(f"epoch {epoch} val loss: {val:.4f}")
                 logger.update(global_step, val_loss=val)
         if scheduler is not None:
@@ -286,7 +305,8 @@ def main():
                                     get_learning_rate(state.opt_state))
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr))
-        if (epoch + 1) % args.save_every == 0:
+        if (epoch + 1) % args.save_every == 0 and is_chief:
+            # params are replicated; the chief's copy is the global state
             host_state = jax.device_get(state)
             path = ckpt.save_checkpoint(save_dir, host_state, cfg, epoch)
             print(f"saved checkpoint -> {path}")
