@@ -220,3 +220,51 @@ def test_strip_module_prefix():
     sd = {"module.backbone._conv_stem.weight": 1, "plain": 2}
     out = torch_import.strip_module_prefix(sd)
     assert set(out) == {"backbone._conv_stem.weight", "plain"}
+
+
+def test_export_roundtrip_full_model(torch_d0, jax_d0):
+    """flax -> torch export (utils/torch_export.py) is the exact inverse of
+    the import: push the jax_d0 variables back into freshly-initialized
+    reference modules and demand forward parity. This is the machinery
+    tools/parity_eval.py uses to run the reference's own evaluate() loop
+    (reference eval.py:165-257) on a checkpoint trained in this framework."""
+    from efficientdet_tpu.utils.torch_export import export_efficientdet
+
+    backbone, neck, head = torch_d0
+    _, model, variables = jax_d0
+
+    # a DIFFERENTLY-initialized template (so parity can't come from the
+    # template's own values)
+    torch.manual_seed(99)
+    effnet = sys.modules["models.efficientnet"]
+    bifpn = sys.modules["models.bifpn"]
+    retina = sys.modules["models.retinahead"]
+    b2 = effnet.EfficientNet.from_name("efficientnet-b0")
+    n2 = bifpn.BIFPN(in_channels=b2.get_list_features()[-5:],
+                     out_channels=64, stack=2, num_outs=5)
+    h2 = retina.RetinaHead(num_classes=20, in_channels=64)
+
+    template = {}
+    for prefix, mod in (("backbone", b2), ("neck", n2), ("bbox_head", h2)):
+        for k, v in mod.state_dict().items():
+            template[f"{prefix}.{k}"] = v
+    state = export_efficientdet(variables, template)
+    for prefix, mod in (("backbone", b2), ("neck", n2), ("bbox_head", h2)):
+        mod.load_state_dict(
+            {k[len(prefix) + 1:]: v for k, v in state.items()
+             if k.startswith(prefix + ".")}, strict=True)
+        mod.eval()
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, SIZE, SIZE, 3).astype(np.float32)
+    with torch.no_grad():
+        feats = b2(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        pyramid = n2([f for f in feats[-5:]])
+        cls_list, reg_list = h2(pyramid)
+        ref_cls = torch.cat(list(cls_list), dim=1).numpy()
+        ref_reg = torch.cat(list(reg_list), dim=1).numpy()
+    got_cls, got_reg = model.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_cls), ref_cls, rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_reg), ref_reg, rtol=1e-3,
+                               atol=1e-4)
