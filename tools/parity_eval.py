@@ -42,6 +42,8 @@ import types
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 REF = "/root/reference"
 
 
@@ -218,9 +220,14 @@ def run_reference_eval(weight_dir: str, dataset_root: str, threshold: float,
 
 
 def run_our_eval(weight_dir: str, dataset_root: str, threshold: float,
-                 iou_threshold: float, max_detections: int):
+                 iou_threshold: float, max_detections: int,
+                 platform: str = "cpu"):
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if platform != "default":
+        jax.config.update("jax_platforms", platform)
+    # reference side runs torch in f32; force full-f32 conv accumulation so
+    # the comparison isolates implementation differences, not dtype policy
+    jax.config.update("jax_default_matmul_precision", "highest")
     import dataclasses
 
     import jax.numpy as jnp
@@ -257,14 +264,17 @@ def main():
     p.add_argument("--threshold", type=float, default=0.05)
     p.add_argument("--iou_threshold", type=float, default=0.5)
     p.add_argument("--max_detections", type=int, default=100)
+    p.add_argument("--platform", default="default",
+                   help="jax platform for OUR eval side ('default' keeps the "
+                        "real TPU; reference side is torch CPU regardless)")
     args = p.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_comp")
 
     ours, _ = run_our_eval(args.weight, args.dataset_root, args.threshold,
-                           args.iou_threshold, args.max_detections)
+                           args.iou_threshold, args.max_detections,
+                           platform=args.platform)
     ref, per_class = run_reference_eval(
         args.weight, args.dataset_root, args.threshold, args.iou_threshold,
         args.max_detections)
