@@ -2,9 +2,10 @@
 
 from .bifpn import BiFPN, BiFPNModule
 from .classifier import EfficientNetClassifier
-from .detector import (EfficientDet, anchors_for_config, detection_loss,
-                       detection_loss_from_logits,
-                       postprocess_detections, postprocess_from_scores)
+from .detector import (EfficientDet, anchors_for_config, anchors_for_model,
+                       detection_loss, detection_loss_from_logits,
+                       postprocess_detections, postprocess_from_scores,
+                       pyramid_shapes_for_model)
 from .efficientnet import (EfficientNetFeatures, MBConvBlock,
                            backbone_feature_channels)
 from .retina_head import RetinaHead, bias_init_with_prob
@@ -12,9 +13,10 @@ from .simple_head import ClassificationSubnet, RegressionSubnet
 
 __all__ = [
     "BiFPN", "BiFPNModule", "EfficientNetClassifier",
-    "EfficientDet", "anchors_for_config", "detection_loss",
-    "detection_loss_from_logits",
+    "EfficientDet", "anchors_for_config", "anchors_for_model",
+    "detection_loss", "detection_loss_from_logits",
     "postprocess_detections", "postprocess_from_scores",
+    "pyramid_shapes_for_model",
     "EfficientNetFeatures", "MBConvBlock", "backbone_feature_channels",
     "RetinaHead", "bias_init_with_prob",
     "ClassificationSubnet", "RegressionSubnet",

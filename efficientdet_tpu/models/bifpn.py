@@ -28,7 +28,8 @@ from typing import Any, List, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvSame, max_pool_2x2, upsample_nearest_2x, xavier_uniform
+from .layers import (ConvSame, max_pool_2x2_to, upsample_nearest_to,
+                     xavier_uniform)
 
 Dtype = Any
 
@@ -72,10 +73,15 @@ class BiFPNModule(nn.Module):
                 pk.fuse_bottomup_pallas(cur, lower, skip, a, b, c,
                                         eps=self.eps)
         else:
+            # shape-driven resizes: exact x2 / VALID-pool for the even
+            # production geometries (parity path), ceil semantics for the
+            # odd feature sizes D7@1636 produces (layers.py docstrings)
             topdown = lambda big, small, a, b: \
-                (a * big + b * upsample_nearest_2x(small)) / (a + b + self.eps)
+                (a * big + b * upsample_nearest_to(
+                    small, big.shape[1], big.shape[2])) / (a + b + self.eps)
             bottomup = lambda cur, lower, skip, a, b, c: \
-                (a * cur + b * max_pool_2x2(lower) + c * skip) \
+                (a * cur + b * max_pool_2x2_to(
+                    lower, cur.shape[1], cur.shape[2]) + c * skip) \
                 / (a + b + c + self.eps)
 
         convs = [ConvSame(self.channels, 3, torch_padding=1, dtype=self.dtype,
@@ -98,7 +104,9 @@ class BiFPNModule(nn.Module):
             idx += 1
         # top node: current + maxpool of the level below (bifpn.py:200-202)
         fused = (w1[0, L - 1] * path[L - 1]
-                 + w1[1, L - 1] * max_pool_2x2(path[L - 2]))
+                 + w1[1, L - 1] * max_pool_2x2_to(
+                     path[L - 2], path[L - 1].shape[1],
+                     path[L - 1].shape[2]))
         fused = fused / (w1[0, L - 1] + w1[1, L - 1] + self.eps)
         path[L - 1] = convs[idx](fused)
         return path

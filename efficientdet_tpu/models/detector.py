@@ -113,10 +113,52 @@ class EfficientDet(nn.Module):
 
 
 def anchors_for_config(cfg: DetectorConfig) -> jnp.ndarray:
-    """(A_total, 4) anchor constant for the configured input size."""
+    """(A_total, 4) anchor constant for the configured input size.
+
+    Assumes the ceil feature pyramid (H_l = ceil(input/2^l)) — exact at
+    every production geometry (input divisible by 128). For off-spec input
+    sizes use ``anchors_for_model``, which reads the model's actual
+    feature shapes."""
     cfg = cfg.resolve()
     return jnp.asarray(anchor_ops.anchors_for_image_size(
         cfg.input_size, tuple(cfg.pyramid_levels), tuple(cfg.anchor_ratios),
+        tuple(cfg.anchor_scales)))
+
+
+def pyramid_shapes_for_model(model: "EfficientDet",
+                             cfg: DetectorConfig) -> Tuple[Tuple[int, int], ...]:
+    """The model's ACTUAL per-level (H, W) pyramid shapes, via abstract
+    tracing (``jax.eval_shape`` — no FLOPs, no device).
+
+    At input sizes divisible by 128 this equals the ceil pyramid; at other
+    sizes the backbone's nominal-size static-SAME padding (the reference's
+    Conv2dStaticSamePadding quirk, models/utils.py:126-149) yields smaller
+    grids, and anchors/loss/postprocess must follow the head's real shapes
+    rather than the ceil assumption (the reference crashes outright there —
+    see docs/DESIGN.md on D7@1636)."""
+    import jax
+
+    cfg = cfg.resolve()
+    x = jax.ShapeDtypeStruct((1, cfg.input_size, cfg.input_size, 3),
+                             jnp.float32)
+    variables = jax.eval_shape(
+        lambda im: model.init(jax.random.PRNGKey(0), im), x)
+    feats = jax.eval_shape(
+        lambda v, im: model.apply(v, im,
+                                  method=EfficientDet.extract_features),
+        variables, x)
+    return tuple((f.shape[1], f.shape[2]) for f in feats)
+
+
+def anchors_for_model(model: "EfficientDet", cfg: DetectorConfig
+                      ) -> jnp.ndarray:
+    """(A_total, 4) anchors matching the model's actual head grids — the
+    robust variant of ``anchors_for_config`` (identical at production
+    geometries, correct at any input size)."""
+    cfg = cfg.resolve()
+    shapes = pyramid_shapes_for_model(model, cfg)
+    return jnp.asarray(anchor_ops.anchors_for_feature_shapes(
+        shapes, tuple(cfg.pyramid_levels), tuple(cfg.anchor_ratios),
         tuple(cfg.anchor_scales)))
 
 

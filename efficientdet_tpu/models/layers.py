@@ -204,6 +204,50 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
         padding="VALID")
 
 
+def upsample_nearest_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Nearest upsample of a coarser level to an exact (h, w) target.
+
+    BiFPN's top-down resize must hit the lateral level's *actual* shape.
+    At the production D0-D6 geometries (all-even pyramids) the target is
+    exactly 2x and this is identical to ``upsample_nearest_2x`` — parity
+    with the reference's ``F.interpolate(scale_factor=2)``. At the odd
+    geometries the backbone's nominal-size static-SAME quirk produces
+    (e.g. D7@1636: 25 <- 12 — where the reference model itself crashes,
+    see docs/DESIGN.md), the target is 2H-1 (crop one row/col of the
+    repeat) or 2H+1 (jax.image nearest resize). Shapes are static at trace
+    time, so the even path stays a gather-free reshape-broadcast."""
+    hh, ww = 2 * x.shape[1], 2 * x.shape[2]
+    if (h, w) == (hh, ww):
+        return upsample_nearest_2x(x)
+    if h <= hh and w <= ww:
+        return upsample_nearest_2x(x)[:, :h, :w, :]
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, h, w, c), method="nearest")
+
+
+def max_pool_2x2_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """2x2/2 max pool of a finer level to an exact (h, w) target.
+
+    floor targets (torch ``F.max_pool2d(x, 2)`` semantics — the reference's
+    downsample, bifpn.py:195, and every even production geometry) use a
+    VALID pool; ceil targets pad the bottom/right edge with -inf (SAME);
+    anything else — possible only under the backbone's nominal-size
+    static-SAME quirk at off-spec input sizes — max-pools VALID and nearest
+    -resizes the remainder. Even inputs take the first branch, so
+    weight-import parity is untouched."""
+    H, W = x.shape[1], x.shape[2]
+    pad_h, pad_w = 2 * h - H, 2 * w - W
+    if 0 <= pad_h <= 1 and 0 <= pad_w <= 1:
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 2, 2, 1),
+            window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    y = max_pool_2x2(x)
+    b, _, _, c = y.shape
+    return jax.image.resize(y, (b, h, w, c), method="nearest")
+
+
 def max_pool_1x1_stride2(x: jnp.ndarray) -> jnp.ndarray:
     """Stride-2 subsample (reference F.max_pool2d(x, 1, stride=2), bifpn.py:116)."""
     return x[:, ::2, ::2, :]

@@ -70,14 +70,20 @@ def feature_shapes(image_size: int,
     return [((image_size + 2 ** l - 1) // 2 ** l,) * 2 for l in pyramid_levels]
 
 
-@functools.lru_cache(maxsize=32)
-def anchors_for_image_size(
-        image_size: int,
+@functools.lru_cache(maxsize=64)
+def anchors_for_feature_shapes(
+        shapes: Tuple[Tuple[int, int], ...],
         pyramid_levels: Tuple[int, ...] = DEFAULT_PYRAMID_LEVELS,
         ratios: Tuple[float, ...] = DEFAULT_RATIOS,
         scales: Tuple[float, ...] = DEFAULT_SCALES) -> np.ndarray:
-    """All anchors for a square input, (A_total, 4) float32, P3..P7 order."""
-    shapes = feature_shapes(image_size, pyramid_levels)
+    """Anchors for explicit per-level (H, W) grids, (A_total, 4) f32.
+
+    The general entry point: `shapes` are the head's *actual* feature
+    shapes, which at off-spec input sizes (e.g. the reference's broken
+    D7@1636 — see models/layers.py upsample_nearest_to) differ from the
+    ceil pyramid because of the backbone's nominal-size static-SAME
+    padding quirk. `anchors_for_image_size` is the ceil-pyramid special
+    case (identical at every production D0-D6 geometry)."""
     per_level = []
     for (fh, fw), level in zip(shapes, pyramid_levels):
         stride = 2 ** level
@@ -87,6 +93,17 @@ def anchors_for_image_size(
     out = np.concatenate(per_level, axis=0).astype(np.float32)
     out.setflags(write=False)
     return out
+
+
+def anchors_for_image_size(
+        image_size: int,
+        pyramid_levels: Tuple[int, ...] = DEFAULT_PYRAMID_LEVELS,
+        ratios: Tuple[float, ...] = DEFAULT_RATIOS,
+        scales: Tuple[float, ...] = DEFAULT_SCALES) -> np.ndarray:
+    """All anchors for a square input, (A_total, 4) float32, P3..P7 order."""
+    shapes = tuple(feature_shapes(image_size, pyramid_levels))
+    return anchors_for_feature_shapes(shapes, tuple(pyramid_levels),
+                                      tuple(ratios), tuple(scales))
 
 
 def num_anchors_for_image_size(

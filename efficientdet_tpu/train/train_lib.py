@@ -28,7 +28,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from ..config import DetectorConfig
-from ..models.detector import (EfficientDet, anchors_for_config,
+from ..models.detector import (EfficientDet, anchors_for_model,
                                detection_loss, detection_loss_from_logits,
                                postprocess_detections,
                                postprocess_from_scores)
@@ -161,7 +161,7 @@ def make_train_step(model: EfficientDet, cfg: DetectorConfig
                                   Tuple[TrainState, Dict]]:
     """Build the pure (state, batch, rng) -> (state, metrics) train step."""
     cfg = cfg.resolve()
-    anchors = anchors_for_config(cfg)
+    anchors = anchors_for_model(model, cfg)
     bn_mutable = cfg.bn_mode in ("train", "sync")
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
@@ -218,7 +218,7 @@ def make_eval_step(model: EfficientDet, cfg: DetectorConfig,
     Pallas kernels (models/fused_serving.py) reading the same variables
     tree; requires frozen BN (the eval default) and an even input size."""
     cfg = cfg.resolve()
-    anchors = anchors_for_config(cfg)
+    anchors = anchors_for_model(model, cfg)
 
     def eval_step(variables, images):
         if fused_backbone:
@@ -240,7 +240,7 @@ def make_loss_step(model: EfficientDet, cfg: DetectorConfig):
     """(variables, batch) -> (cls_loss, reg_loss); the reference test() loop
     (train.py:141-152) evaluates val loss in train formulation."""
     cfg = cfg.resolve()
-    anchors = anchors_for_config(cfg)
+    anchors = anchors_for_model(model, cfg)
 
     def loss_step(variables, batch):
         cls_logits, box_deltas = model.apply(

@@ -53,6 +53,64 @@ def test_bifpn_shapes():
     np.testing.assert_allclose(p["bifpn_0"]["w1"], 0.5)
 
 
+def test_bifpn_odd_feature_sizes_d7_geometry():
+    """BiFPN must accept the odd feature sizes SAME stride-2 backbones
+    produce at D7@1636 (205/103 levels; reference utils/config_eff.py:37-41).
+
+    The reference's own BIFPN crashes here — ``F.interpolate(scale=2)`` of
+    the 52-level gives 104 vs the 103 lateral (RuntimeError, verified
+    against /root/reference/models/bifpn.py:188-192 directly). Our resizes
+    are shape-driven (layers.upsample_nearest_to / max_pool_2x2_same) so the
+    ceil-pyramid fuses cleanly; for even sizes they reduce to exact x2 /
+    VALID pool, so this is a strict superset of the reference semantics."""
+    chans = [40, 80, 112, 192, 320]
+    sizes = [52, 26, 13, 7, 4]     # ceil-chain with odd interior levels
+    feats = [jnp.zeros((1, s, s, c)) for s, c in zip(sizes, chans)]
+    neck = BiFPN(in_channels=chans, out_channels=32, stack=2)
+    params = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(params, feats)
+    for o, s in zip(outs, sizes):
+        assert o.shape == (1, s, s, 32)
+    assert all(bool(jnp.isfinite(o).all()) for o in outs)
+
+
+def test_detector_forward_odd_input_size():
+    """Full detector path at an input size not divisible by 128 (the
+    D7@1636 failure class, scaled down).
+
+    At 164px the backbone's nominal-size static-SAME quirk yields a
+    floor-ish pyramid (20/10/5/2/1 — NOT the ceil chain 21/11/6/3/2), so
+    anchors must come from the model's actual grids
+    (``anchors_for_model``); ``anchors_for_config``'s ceil assumption
+    over-counts here, and the reference crashes outright at this input
+    class. Forward, loss, and NMS postprocess must all run and agree on
+    A_total."""
+    from efficientdet_tpu.models import (anchors_for_model,
+                                         postprocess_detections,
+                                         pyramid_shapes_for_model)
+
+    cfg = DetectorConfig(num_classes=4, network="efficientdet-d0",
+                         input_size=164, W_bifpn=16, D_bifpn=1,
+                         D_class=1).resolve()
+    model = EfficientDet(config=cfg)
+    shapes = pyramid_shapes_for_model(model, cfg)
+    a = 9 * sum(h * w for h, w in shapes)
+    assert a != num_anchors_for_image_size(164)   # ceil chain is wrong here
+    x = jnp.zeros((1, 164, 164, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    cls_probs, deltas = model.apply(variables, x)
+    assert cls_probs.shape == (1, a, 4)
+    assert deltas.shape == (1, a, 4)
+    anchors = anchors_for_model(model, cfg)
+    assert anchors.shape == (a, 4)
+    ann = jnp.asarray([[[20.0, 20.0, 90.0, 100.0, 1.0],
+                        [-1, -1, -1, -1, -1]]])
+    cls_loss, reg_loss = detection_loss(cls_probs, deltas, anchors, ann, cfg)
+    assert bool(jnp.isfinite(cls_loss)) and bool(jnp.isfinite(reg_loss))
+    det = postprocess_detections(cls_probs, deltas, anchors, cfg)
+    assert det.scores.shape == (1, cfg.max_detections)
+
+
 def test_bifpn_extra_levels_subsample():
     """<5 backbone levels extended on top by stride-2 subsampling
     (reference bifpn.py:112-115, add_extra_convs=False)."""

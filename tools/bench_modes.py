@@ -39,6 +39,14 @@ SWEEP = [
     ("latency_d0_b1", "latency", "efficientdet-d0", 1, 100),
     ("train_d0_b64", "train", "efficientdet-d0", 64, 20),
     ("fusedmb_d0_b256", "fusedmb", "efficientdet-d0", 256, 20),
+    ("infer_d0_b128", "infer", "efficientdet-d0", 128, 20),
+    ("fusedmb_d0_b128", "fusedmb", "efficientdet-d0", 128, 20),
+    # fused-MBConv A/B verdict pair: b128/b256 fault on the chip (TPU
+    # device error at warmup — recorded above); b8 is the largest batch
+    # where the fused path completes, and there it loses to XLA
+    # (434.8 vs 539.0 img/s) — see docs/DESIGN.md for the verdict.
+    ("infer_d0_b8", "infer", "efficientdet-d0", 8, 5),
+    ("fusedmb_d0_b8", "fusedmb", "efficientdet-d0", 8, 5),
     ("infer_d1_b128", "infer", "efficientdet-d1", 128, 10),
     ("infer_d4_b16", "infer", "efficientdet-d4", 16, 10),
 ]
