@@ -65,8 +65,9 @@ class Detect:
 
         input_size = (args.input_size
                       or EFFICIENTDET[args.network]["input_size"])
-        saved = (ckpt.load_config(args.weight)
-                 if os.path.isdir(args.weight) else None)
+        # native dir config OR reference .pth parser-blob recovery
+        # (reference demo.py:48-54) — flags only needed for bare state_dicts
+        saved = ckpt.load_config(args.weight)
         cfg = saved or DetectorConfig(num_classes=args.num_class,
                                       network=args.network,
                                       input_size=input_size)

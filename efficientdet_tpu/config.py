@@ -240,8 +240,13 @@ class DetectorConfig:
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     anchor_scales: Tuple[float, ...] = (2 ** 0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0))
     # Head configuration. NOTE: the reference accepts D_class but hard-codes
-    # stacked_convs=4, feat_channels=256 (models/retinahead.py:43,51); we honor
-    # D_class properly while keeping the same defaults available.
+    # stacked_convs=4, feat_channels=256 (models/retinahead.py:43,51).
+    # We match that behavior exactly for weight-import parity: D_class is
+    # resolved and carried in the config (so checkpoints record it) but is
+    # NOT wired to the head depth — `head_stacked_convs` is the knob that
+    # actually sets subnet depth, default 4 like the reference. Set it to
+    # cfg.D_class explicitly to get the paper's intended scaling (such a
+    # head cannot import reference .pth heads: depth mismatch fails loudly).
     head_stacked_convs: int = 4
     head_feat_channels: int = 256
     # Loss configuration (reference models/losses.py).

@@ -31,7 +31,7 @@ class DataLoader:
                  seed: int = 0, prefetch: int = 2,
                  shard_index: int = 0, num_shards: int = 1,
                  native: str = "off", image_size: int = 0,
-                 flip_prob: float = 0.0):
+                 flip_prob: float = 0.0, cache: str = "off"):
         """`batch_size` is the PER-HOST batch. For multi-host training pass
         shard_index=jax.process_index(), num_shards=jax.process_count():
         every host gets a disjoint, same-seed-shuffled slice per epoch (the
@@ -45,6 +45,17 @@ class DataLoader:
         numerically identical native code; `image_size` must then be set.
         Per-image native failures (non-JPEG, corrupt file) silently fall back
         to the dataset's Python path. 'off' = always Python.
+
+        `cache='ram'` keeps each sample's DECODED image (uint8, exact: the
+        JPEG decode is 8-bit) + annotations in host RAM after first touch and
+        re-applies the dataset's (random) transform per epoch — the
+        tf.data-`.cache()` / DALI-decoder-cache equivalent. On 1-core hosts
+        where JPEG decode is the epoch bottleneck this turns epochs 2+ from
+        decode-bound into device-bound. Requires the dataset to expose
+        load_image/load_annotations/transform; augmentation randomness is
+        preserved because only the decode result is cached. Budget ~0.4 MB
+        per 512px image (uint8); mutually exclusive with the native C++
+        decode path (which exists to speed up the same stage).
         """
         self.dataset = dataset
         self.batch_size = batch_size
@@ -58,6 +69,15 @@ class DataLoader:
         self._epoch = 0
         self.image_size = image_size
         self.flip_prob = flip_prob
+        self._cache = None
+        if cache == "ram":
+            assert hasattr(dataset, "load_image") \
+                and hasattr(dataset, "load_annotations"), \
+                "cache='ram' needs dataset.load_image/load_annotations"
+            self._cache = {}
+            native = "off"      # cache replaces the decode fast path
+        elif cache != "off":
+            raise ValueError(f"cache must be 'off' or 'ram', got {cache!r}")
         self._native = False
         if native != "off":
             from .. import native as native_mod
@@ -123,6 +143,27 @@ class DataLoader:
                 "annotations": pad_annotations(annots, self.max_boxes),
                 "scales": scales}
 
+    def _cached_sample(self, i: int) -> dict:
+        """dataset[i] with the decode served from the RAM cache.
+
+        Mirrors the datasets' __getitem__ contract exactly (voc.py:89-94):
+        {'img' float32 [0,1], 'annot' (N,5), 'scale' 1.0} through the
+        dataset's transform. uint8 storage is lossless — load_image is an
+        8-bit decode scaled by 1/255, which the round trip inverts exactly.
+        """
+        ent = self._cache.get(i)
+        if ent is None:
+            img = self.dataset.load_image(i)
+            ann = np.asarray(self.dataset.load_annotations(i),
+                             np.float32).reshape(-1, 5)
+            ent = (np.round(img * 255.0).astype(np.uint8), ann)
+            self._cache[i] = ent
+        img8, ann = ent
+        sample = {"img": img8.astype(np.float32) / 255.0,
+                  "annot": ann.copy(), "scale": 1.0}
+        transform = getattr(self.dataset, "transform", None)
+        return transform(sample) if transform is not None else sample
+
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
         rng = np.random.RandomState(self.seed * 9973 + self._epoch)
@@ -131,6 +172,9 @@ class DataLoader:
             for idx in self._batch_indices():
                 if self._native:
                     yield self._native_batch(idx, rng)
+                elif self._cache is not None:
+                    samples = [self._cached_sample(int(i)) for i in idx]
+                    yield collate(samples, self.max_boxes)
                 else:
                     samples = [self.dataset[int(i)] for i in idx]
                     yield collate(samples, self.max_boxes)

@@ -65,24 +65,39 @@ class BiFPNModule(nn.Module):
         w1 = w1.astype(self.dtype)
         w2 = w2.astype(self.dtype)
 
+        # shape-driven resizes: exact x2 / VALID-pool for the even
+        # production geometries (parity path), ceil semantics for the
+        # odd feature sizes D7@1636 produces (layers.py docstrings)
+        topdown = lambda big, small, a, b: \
+            (a * big + b * upsample_nearest_to(
+                small, big.shape[1], big.shape[2])) / (a + b + self.eps)
+        bottomup = lambda cur, lower, skip, a, b, c: \
+            (a * cur + b * max_pool_2x2_to(
+                lower, cur.shape[1], cur.shape[2]) + c * skip) \
+            / (a + b + c + self.eps)
+
         if self.use_pallas:
             from ..kernels import fusion as pk
-            topdown = lambda big, small, a, b: pk.fuse_topdown_pallas(
-                big, small, a, b, eps=self.eps)
-            bottomup = lambda cur, lower, skip, a, b, c: \
-                pk.fuse_bottomup_pallas(cur, lower, skip, a, b, c,
-                                        eps=self.eps)
-        else:
-            # shape-driven resizes: exact x2 / VALID-pool for the even
-            # production geometries (parity path), ceil semantics for the
-            # odd feature sizes D7@1636 produces (layers.py docstrings)
-            topdown = lambda big, small, a, b: \
-                (a * big + b * upsample_nearest_to(
-                    small, big.shape[1], big.shape[2])) / (a + b + self.eps)
-            bottomup = lambda cur, lower, skip, a, b, c: \
-                (a * cur + b * max_pool_2x2_to(
-                    lower, cur.shape[1], cur.shape[2]) + c * skip) \
-                / (a + b + c + self.eps)
+            xla_topdown, xla_bottomup = topdown, bottomup
+
+            # The Pallas fusion kernels assume exact-2x level geometry
+            # (kernels/fusion.py reshapes h2//2). Odd pyramids (e.g.
+            # D7@1636: 205 -> 103 -> 52 ...) fall back per-node to the XLA
+            # path, whose resize helpers handle ceil semantics; shapes are
+            # static at trace time so this costs nothing at runtime.
+            def topdown(big, small, a, b, _xla=xla_topdown):
+                if (big.shape[1], big.shape[2]) == (2 * small.shape[1],
+                                                    2 * small.shape[2]):
+                    return pk.fuse_topdown_pallas(big, small, a, b,
+                                                  eps=self.eps)
+                return _xla(big, small, a, b)
+
+            def bottomup(cur, lower, skip, a, b, c, _xla=xla_bottomup):
+                if (lower.shape[1], lower.shape[2]) == (2 * cur.shape[1],
+                                                        2 * cur.shape[2]):
+                    return pk.fuse_bottomup_pallas(cur, lower, skip, a, b, c,
+                                                   eps=self.eps)
+                return _xla(cur, lower, skip, a, b, c)
 
         convs = [ConvSame(self.channels, 3, torch_padding=1, dtype=self.dtype,
                           kernel_init=xavier_uniform, name=f"fuse_conv_{i}")

@@ -117,7 +117,50 @@ def _split_step_dir(path: str) -> Tuple[str, Optional[int]]:
     return path, None
 
 
+def load_pth_meta(path: str) -> Optional[Dict[str, Any]]:
+    """Recover model-defining metadata from a reference training blob.
+
+    The reference rebuilds its model from ``checkpoint['parser']`` (a pickled
+    argparse Namespace holding num_class/network) on every load — train.py:
+    213-227, eval.py:365-374, demo.py:48-54 — so its ``.pth`` files are
+    self-describing. Returns ``{'num_class', 'network', 'epoch'}`` (keys
+    present in the blob only) or None for bare state_dicts / foreign blobs.
+    """
+    from . import torch_import
+    try:
+        blob = torch_import.load_torch_checkpoint(path)
+    except Exception:
+        return None
+    if not isinstance(blob, dict) or "parser" not in blob:
+        return None
+    parser = blob["parser"]
+    get = (parser.get if isinstance(parser, dict)
+           else lambda k, d=None: getattr(parser, k, d))
+    meta: Dict[str, Any] = {}
+    if get("num_class") is not None:
+        meta["num_class"] = int(get("num_class"))
+    if get("network") is not None:
+        meta["network"] = str(get("network"))
+    if blob.get("epoch") is not None:
+        meta["epoch"] = int(blob["epoch"])
+    return meta or None
+
+
 def load_config(directory: str) -> Optional[DetectorConfig]:
+    """Model config from a native checkpoint dir OR a reference ``.pth``.
+
+    For ``.pth`` blobs the geometry is recovered from the pickled ``parser``
+    (see load_pth_meta) and resolved through the EFFICIENTDET scaling table —
+    the same reconstruction the reference performs (eval.py:365-374) — so
+    eval/demo need no --network/--num_class flags for reference checkpoints.
+    """
+    if directory.endswith((".pth", ".pt")):
+        meta = load_pth_meta(directory)
+        if not meta or "num_class" not in meta:
+            return None
+        return DetectorConfig(
+            num_classes=meta["num_class"],
+            network=meta.get("network", "efficientdet-d0")).resolve()
     directory, _ = _split_step_dir(directory)
     path = os.path.join(directory, _CONFIG_FILE)
     if not os.path.exists(path):

@@ -19,6 +19,7 @@ flax leaf it targets must match shape, so silent drift is impossible.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
@@ -174,6 +175,17 @@ def load_torch_checkpoint(path: str):
 
     Accepts either a bare state_dict (pretrained backbone) or the training
     blob {'epoch', 'parser', 'state_dict'} (reference train.py:279-283).
+    A 1-deep cache avoids re-reading the same blob when a driver recovers
+    the config (checkpoint.load_pth_meta) and then loads the weights.
     """
+    global _LAST_BLOB
+    mtime = os.path.getmtime(path)
+    if _LAST_BLOB is not None and _LAST_BLOB[0] == (path, mtime):
+        return _LAST_BLOB[1]
     import torch  # local import: torch is only needed for interop
-    return torch.load(path, map_location="cpu", weights_only=False)
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    _LAST_BLOB = ((path, mtime), blob)
+    return blob
+
+
+_LAST_BLOB = None

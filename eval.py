@@ -71,9 +71,10 @@ def main():
     from efficientdet_tpu.utils import checkpoint as ckpt
 
     # the checkpoint's config defines the model geometry; read it FIRST so
-    # the dataset resizes to the size the model was built for
-    saved_cfg = (ckpt.load_config(args.weight)
-                 if os.path.isdir(args.weight) else None)
+    # the dataset resizes to the size the model was built for. Works for
+    # native dirs AND reference .pth blobs (parser-blob recovery, reference
+    # eval.py:365-374) — no --network/--num_class flags needed either way.
+    saved_cfg = ckpt.load_config(args.weight)
     input_size = (args.input_size
                   or (saved_cfg.input_size if saved_cfg else None)
                   or EFFICIENTDET[args.network]["input_size"])

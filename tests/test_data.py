@@ -90,6 +90,41 @@ def test_dataloader_sharding_disjoint_and_complete():
     assert sorted(seen) == list(range(16))
 
 
+def test_dataloader_ram_cache_exact_and_hit(voc_root, monkeypatch):
+    """cache='ram' must (a) produce bit-identical batches to the uncached
+    path (the uint8 round trip is lossless for 8-bit decodes) and (b) stop
+    touching the decoder after the first epoch."""
+    from efficientdet_tpu.data import VOCDetection, eval_transforms
+    from efficientdet_tpu.data.voc import VOCDetection as VD
+
+    tf = eval_transforms(64)
+    ds = VOCDetection(voc_root, image_sets=[("2007", "trainval")],
+                      transform=tf)
+    plain = list(DataLoader(ds, batch_size=2, shuffle=True, max_boxes=4,
+                            seed=5, cache="off"))
+
+    calls = {"n": 0}
+    orig = VD.load_image
+
+    def counting(self, i):
+        calls["n"] += 1
+        return orig(self, i)
+
+    monkeypatch.setattr(VD, "load_image", counting)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, max_boxes=4, seed=5,
+                    cache="ram")
+    cached = list(dl)
+    assert calls["n"] == 2                       # one decode per image
+    for a, b in zip(plain, cached):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["annotations"], b["annotations"])
+    list(dl)                                     # epoch 2: pure cache
+    assert calls["n"] == 2
+
+    with pytest.raises(ValueError):
+        DataLoader(ds, batch_size=2, cache="disk")
+
+
 def test_synthetic_boxes_match_pixels():
     ds = SyntheticDetection(length=2, image_size=64, num_classes=5, seed=3)
     s = ds[0]

@@ -60,7 +60,7 @@ def test_bifpn_odd_feature_sizes_d7_geometry():
     The reference's own BIFPN crashes here — ``F.interpolate(scale=2)`` of
     the 52-level gives 104 vs the 103 lateral (RuntimeError, verified
     against /root/reference/models/bifpn.py:188-192 directly). Our resizes
-    are shape-driven (layers.upsample_nearest_to / max_pool_2x2_same) so the
+    are shape-driven (layers.upsample_nearest_to / max_pool_2x2_to) so the
     ceil-pyramid fuses cleanly; for even sizes they reduce to exact x2 /
     VALID pool, so this is a strict superset of the reference semantics."""
     chans = [40, 80, 112, 192, 320]

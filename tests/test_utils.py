@@ -130,6 +130,45 @@ def test_checkpoint_digit_named_root_not_a_step_dir(tmp_path):
     assert ckpt.latest_epoch(root) == 0
 
 
+def test_pth_blob_is_self_describing(tmp_path):
+    """Reference .pth training blobs carry {'epoch','parser','state_dict'}
+    (reference train.py:279-283); eval/demo/train must recover
+    num_class/network/epoch from the pickled parser with NO flags, exactly
+    like reference eval.py:365-374 / demo.py:48-54 / train.py:213-227."""
+    torch = pytest.importorskip("torch")
+    import argparse
+    parser = argparse.Namespace(num_class=80, network="efficientdet-d4",
+                                dataset="COCO", lr=1e-4)
+    blob = {"epoch": 17, "parser": parser,
+            "state_dict": {"backbone._conv_stem.weight": torch.zeros(1)}}
+    path = str(tmp_path / "checkpoint_17.pth")
+    torch.save(blob, path)
+
+    meta = ckpt.load_pth_meta(path)
+    assert meta == {"num_class": 80, "network": "efficientdet-d4",
+                    "epoch": 17}
+    cfg = ckpt.load_config(path)
+    assert cfg.num_classes == 80
+    assert cfg.network == "efficientdet-d4"
+    assert cfg.input_size == 1024            # resolved via EFFICIENTDET[d4]
+    assert cfg.W_bifpn == 224 and cfg.D_bifpn == 6
+
+    # a bare state_dict (pretrained backbone blob) is NOT self-describing
+    bare = str(tmp_path / "bare.pth")
+    torch.save({"stem.weight": torch.zeros(1)}, bare)
+    assert ckpt.load_pth_meta(bare) is None
+    assert ckpt.load_config(bare) is None
+
+    # dict-form parser (robustness: some forks save vars(args))
+    blob2 = {"epoch": 3, "parser": {"num_class": 20,
+                                    "network": "efficientdet-d1"},
+             "state_dict": {}}
+    p2 = str(tmp_path / "dictparser.pth")
+    torch.save(blob2, p2)
+    cfg2 = ckpt.load_config(p2)
+    assert (cfg2.num_classes, cfg2.network) == (20, "efficientdet-d1")
+
+
 def test_metric_logger(tmp_path):
     log = MetricLogger(str(tmp_path))
     log.update(0, loss=2.0)

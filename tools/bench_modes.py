@@ -55,17 +55,24 @@ SWEEP = [
 def run_one(tag, mode, network, batch, iters, device_note):
     env = dict(os.environ, BENCH_MODE=mode, BENCH_NETWORK=network,
                BENCH_BATCH=str(batch), BENCH_ITERS=str(iters))
-    proc = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
-                          env=env, capture_output=True, text=True,
-                          timeout=1800)
+    rec = {"tag": tag, "mode": mode, "network": network, "batch": batch,
+           "iters": iters, "device": device_note,
+           "date": datetime.date.today().isoformat()}
+    try:
+        proc = subprocess.run([sys.executable,
+                               os.path.join(ROOT, "bench.py")],
+                              env=env, capture_output=True, text=True,
+                              timeout=1800)
+    except subprocess.TimeoutExpired as e:
+        # record the timeout and keep sweeping the remaining modes
+        rec.update({"metric": "bench_error", "value": None,
+                    "error": f"timeout after {e.timeout}s"})
+        return rec
     line = None
     for ln in proc.stdout.strip().splitlines():
         ln = ln.strip()
         if ln.startswith("{"):
             line = ln
-    rec = {"tag": tag, "mode": mode, "network": network, "batch": batch,
-           "iters": iters, "device": device_note,
-           "date": datetime.date.today().isoformat()}
     if line is None:
         rec.update({"metric": "bench_error", "value": None,
                     "error": (proc.stderr or proc.stdout)[-500:]})

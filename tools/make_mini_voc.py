@@ -17,9 +17,18 @@ Ground-truth boxes are the pasted extents, written as 1-based VOC XML
 coordinates (parse_voc_xml subtracts 1, recovering exact pixel boxes).
 Labels reuse VOC class names so num_classes/evaluators work unchanged.
 
+Covering all 20 VOC classes (--classes 20, the default): 5 hand-picked
+prototypes (below) plus auto-selected crops — the highest-local-variance
+non-overlapping windows of the source photos, with per-class aspect ratios.
+Because all crops come from the same two photographs, each class beyond the
+hand-picked 5 additionally carries a fixed per-class RGB gain triple
+(deterministic, mild, in [0.75, 1.25]) so the 20 appearance classes are
+mutually separable — pixels stay photographic texture; the per-class tint
+is the only synthetic signal and is documented in ACCURACY.md.
+
 Usage:
     python tools/make_mini_voc.py --out /root/data/minivoc \
-        --train 200 --test 50 [--size 512] [--seed 0]
+        --train 1500 --test 300 [--size 512] [--seed 0] [--classes 20]
 Then:
     python train.py --dataset VOC --dataset_root /root/data/minivoc ...
     python eval.py  --dataset VOC --dataset_root /root/data/minivoc ...
@@ -43,6 +52,86 @@ PROTOTYPES = [
     ("dog", 0, 1100, 1500, 300, 260),
     ("chair", 0, 420, 120, 360, 260),
 ]
+
+# all 20 VOC class names, in the canonical order (data/voc.py:16-19)
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor")
+
+
+def _auto_crops(sources, count: int, taken, rng: np.random.RandomState):
+    """Pick `count` non-overlapping high-texture windows from the sources.
+
+    Deterministic given the rng: per crop, a random aspect/size window is
+    slid over a coarse grid of a random source; the position with the
+    highest local pixel variance that does not overlap previously taken
+    windows (same source) wins. High variance = distinctive texture, which
+    is what makes a class learnable against the background.
+    """
+    crops = []
+    for k in range(count):
+        best = None
+        si = rng.randint(len(sources))
+        src = sources[si]
+        sh, sw = src.shape[:2]
+        aspect = [0.5, 0.75, 1.0, 1.4, 2.0][k % 5]
+        base = min(sh, sw) // 5
+        w = int(min(base * aspect, sw // 3))
+        h = int(min(base / aspect, sh // 3))
+        w, h = max(w, 48), max(h, 48)
+        gray = src.astype(np.float32).mean(axis=2)
+        step_y, step_x = max((sh - h) // 12, 1), max((sw - w) // 12, 1)
+        for y in range(0, sh - h, step_y):
+            for x in range(0, sw - w, step_x):
+                if any(ti == si and x < tx + tw and tx < x + w
+                       and y < ty + th and ty < y + h
+                       for ti, tx, ty, tw, th in taken):
+                    continue
+                v = float(gray[y:y + h, x:x + w].var())
+                if best is None or v > best[0]:
+                    best = (v, x, y)
+        if best is None:            # source exhausted: allow overlap
+            x = rng.randint(0, sw - w)
+            y = rng.randint(0, sh - h)
+            best = (0.0, x, y)
+        _, x, y = best
+        taken.append((si, x, y, w, h))
+        crops.append(src[y:y + h, x:x + w].copy())
+    return crops
+
+
+def build_prototypes(sources, num_classes: int,
+                     rng: np.random.RandomState):
+    """(class_name, patch_bgr_uint8) for the first `num_classes` VOC classes.
+
+    The 5 hand-picked PROTOTYPES keep their historical crops (so 5-class
+    datasets reproduce across rounds); remaining classes get auto-selected
+    crops plus a fixed per-class RGB gain in [0.75, 1.25] for separability.
+    """
+    manual = {}
+    taken = []
+    for cls, si, x, y, w, h in PROTOTYPES:
+        src = sources[min(si, len(sources) - 1)]
+        patch = src[y:y + h, x:x + w].copy()
+        assert patch.size, f"prototype {cls} out of bounds for {src.shape}"
+        manual[cls] = patch
+        taken.append((min(si, len(sources) - 1), x, y, w, h))
+
+    classes = [c for c in VOC_CLASSES][:num_classes]
+    need = [c for c in classes if c not in manual]
+    auto = _auto_crops(sources, len(need), taken, rng)
+    gain_rng = np.random.RandomState(20)   # fixed: gains are part of the
+    #   dataset definition, not of the sampling seed
+    gains = {c: gain_rng.uniform(0.75, 1.25, size=3) for c in VOC_CLASSES}
+    protos = []
+    for c in classes:
+        if c in manual:
+            protos.append((c, manual[c]))
+        else:
+            p = auto[need.index(c)].astype(np.float32) * gains[c]
+            protos.append((c, np.clip(p, 0, 255).astype(np.uint8)))
+    return protos
 
 
 def _load_sources():
@@ -85,15 +174,14 @@ def _xml(img_id: str, size: int, boxes) -> str:
 
 
 def make_split(base: str, name: str, count: int, size: int,
-               rng: np.random.RandomState) -> None:
+               rng: np.random.RandomState, num_classes: int = 5,
+               max_objects: int = 4) -> None:
     import cv2
     sources = _load_sources()
-    protos = []
-    for cls, si, x, y, w, h in PROTOTYPES:
-        src = sources[min(si, len(sources) - 1)]
-        patch = src[y:y + h, x:x + w].copy()
-        assert patch.size, f"prototype {cls} out of bounds for {src.shape}"
-        protos.append((cls, patch))
+    # prototype selection is seeded independently of the sampling rng so
+    # train/test splits (different rngs) get IDENTICAL class appearances
+    protos = build_prototypes(sources, num_classes,
+                              np.random.RandomState(7))
 
     ids = []
     for n in range(count):
@@ -112,7 +200,7 @@ def make_split(base: str, name: str, count: int, size: int,
             bg = bg[:, ::-1].copy()
 
         boxes = []
-        for _ in range(rng.randint(1, 5)):
+        for _ in range(rng.randint(1, max_objects + 1)):
             cls, patch = protos[rng.randint(len(protos))]
             ph, pw = patch.shape[:2]
             s = rng.uniform(0.45, 1.1) * size / max(ph, pw) * 0.45
@@ -146,6 +234,10 @@ def main():
     ap.add_argument("--test", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--classes", type=int, default=20,
+                    help="number of VOC classes to cover (canonical order); "
+                         "5 reproduces the round-1..3 hand-picked dataset")
+    ap.add_argument("--max_objects", type=int, default=4)
     args = ap.parse_args()
 
     base = os.path.join(args.out, "VOC2007")
@@ -153,11 +245,13 @@ def main():
                 os.path.join("ImageSets", "Main")):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
     make_split(base, "trainval", args.train, args.size,
-               np.random.RandomState(args.seed))
+               np.random.RandomState(args.seed),
+               num_classes=args.classes, max_objects=args.max_objects)
     make_split(base, "test", args.test, args.size,
-               np.random.RandomState(args.seed + 1))
+               np.random.RandomState(args.seed + 1),
+               num_classes=args.classes, max_objects=args.max_objects)
     print(f"mini-VOC written to {args.out}: {args.train} trainval + "
-          f"{args.test} test @ {args.size}px")
+          f"{args.test} test @ {args.size}px, {args.classes} classes")
 
 
 if __name__ == "__main__":

@@ -73,6 +73,11 @@ def parse_args():
                    choices=["auto", "on", "off"],
                    help="C++ decode/augment pipeline (efficientdet_tpu."
                         "native); auto = use when buildable")
+    p.add_argument("--cache_images", action="store_true",
+                   help="cache decoded images in host RAM after the first "
+                        "epoch (DataLoader cache='ram'): epochs 2+ skip the "
+                        "JPEG decode entirely — the big lever on few-core "
+                        "hosts where decode, not the TPU, bounds the epoch")
     p.add_argument("--augment", default="basic", choices=["basic", "full"],
                    help="basic = reference train.py's Normalizer/Augmenter/"
                         "Resizer; full = the reference's albumentations "
@@ -162,6 +167,21 @@ def main():
     from efficientdet_tpu.utils import checkpoint as ckpt
 
     input_size = args.input_size or EFFICIENTDET[args.network]["input_size"]
+    # resuming a reference .pth: the blob is self-describing — recover
+    # num_class/network/epoch from its pickled parser exactly like the
+    # reference (train.py:222-226) before any geometry is built
+    pth_meta = (ckpt.load_pth_meta(args.resume)
+                if args.resume and args.resume.endswith((".pth", ".pt"))
+                else None)
+    if pth_meta:
+        if pth_meta.get("network") in EFFICIENTDET:
+            args.network = pth_meta["network"]
+            input_size = (args.input_size
+                          or EFFICIENTDET[args.network]["input_size"])
+        if "num_class" in pth_meta:
+            args.num_class = pth_meta["num_class"]
+        print(f"recovered from {args.resume}: "
+              + ", ".join(f"{k}={v}" for k, v in pth_meta.items()))
     train_ds = build_dataset(args, True, input_size)
     num_classes = args.num_class or train_ds.num_classes()
 
@@ -207,7 +227,10 @@ def main():
                                                           state.batch_stats)})
             state = state.replace(params=variables["params"],
                                   batch_stats=variables["batch_stats"])
-            print(f"imported torch weights from {args.resume}")
+            if pth_meta and "epoch" in pth_meta:
+                start_epoch = pth_meta["epoch"] + 1  # ref train.py:226
+            print(f"imported torch weights from {args.resume} "
+                  f"(start_epoch={start_epoch})")
         else:
             state, start_epoch = ckpt.restore_checkpoint(args.resume, state)
             print(f"resumed from {args.resume} at epoch {start_epoch}")
@@ -221,7 +244,8 @@ def main():
                         max_boxes=args.max_boxes, seed=args.seed,
                         shard_index=host_id, num_shards=num_hosts,
                         native=train_native, image_size=input_size,
-                        flip_prob=0.5)
+                        flip_prob=0.5,
+                        cache="ram" if args.cache_images else "off")
     scheduler = (PlateauScheduler(factor=0.1, patience=args.lr_patience)
                  if args.lr_schedule == "plateau" else None)
     step_rng = jax.random.PRNGKey(args.seed + 1)
