@@ -31,7 +31,8 @@ class DataLoader:
                  seed: int = 0, prefetch: int = 2,
                  shard_index: int = 0, num_shards: int = 1,
                  native: str = "off", image_size: int = 0,
-                 flip_prob: float = 0.0, cache: str = "off"):
+                 flip_prob: float = 0.0, cache: str = "off",
+                 uint8_images: bool = False):
         """`batch_size` is the PER-HOST batch. For multi-host training pass
         shard_index=jax.process_index(), num_shards=jax.process_count():
         every host gets a disjoint, same-seed-shuffled slice per epoch (the
@@ -56,6 +57,13 @@ class DataLoader:
         preserved because only the decode result is cached. Budget ~0.4 MB
         per 512px image (uint8); mutually exclusive with the native C++
         decode path (which exists to speed up the same stage).
+
+        `uint8_images=True` collates image batches as uint8 [0, 255] for the
+        device-normalize path (pair with transforms built with
+        device_normalize=True; the jitted steps normalize uint8 inputs on
+        device). Cuts the host->device image transfer 4x. With cache='ram'
+        the cached uint8 arrays additionally flow through flip/resize
+        without ever converting to float on the host.
         """
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +77,9 @@ class DataLoader:
         self._epoch = 0
         self.image_size = image_size
         self.flip_prob = flip_prob
+        self.uint8_images = uint8_images
+        if uint8_images and native not in ("off",):
+            native = "off"      # the C++ pipeline emits normalized f32
         self._cache = None
         if cache == "ram":
             assert hasattr(dataset, "load_image") \
@@ -159,8 +170,9 @@ class DataLoader:
             ent = (np.round(img * 255.0).astype(np.uint8), ann)
             self._cache[i] = ent
         img8, ann = ent
-        sample = {"img": img8.astype(np.float32) / 255.0,
-                  "annot": ann.copy(), "scale": 1.0}
+        # uint8 batches flow through flip/resize without a float round trip
+        img = img8 if self.uint8_images else img8.astype(np.float32) / 255.0
+        sample = {"img": img, "annot": ann.copy(), "scale": 1.0}
         transform = getattr(self.dataset, "transform", None)
         return transform(sample) if transform is not None else sample
 
@@ -174,10 +186,12 @@ class DataLoader:
                     yield self._native_batch(idx, rng)
                 elif self._cache is not None:
                     samples = [self._cached_sample(int(i)) for i in idx]
-                    yield collate(samples, self.max_boxes)
+                    yield collate(samples, self.max_boxes,
+                                  uint8_images=self.uint8_images)
                 else:
                     samples = [self.dataset[int(i)] for i in idx]
-                    yield collate(samples, self.max_boxes)
+                    yield collate(samples, self.max_boxes,
+                                  uint8_images=self.uint8_images)
 
         return prefetch_iter(batches(), depth=self.prefetch)
 

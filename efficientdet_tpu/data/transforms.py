@@ -75,14 +75,19 @@ class Resizer:
         self.size = size
 
     def __call__(self, sample: dict) -> dict:
-        import cv2
         img = sample["img"]
         h, w = img.shape[:2]
+        if (h, w) == (self.size, self.size):
+            # already the target canvas: identity (scale 1, no pad). Saves
+            # a cv2.resize + full-canvas copy per image on datasets stored
+            # at the network's native resolution.
+            return {**sample, "scale": 1.0}
+        import cv2
         scale = self.size / max(h, w)
         nh, nw = ((self.size, int(w * scale)) if h > w
                   else (int(h * scale), self.size))
         resized = cv2.resize(img, (nw, nh))
-        canvas = np.zeros((self.size, self.size, 3), dtype=np.float32)
+        canvas = np.zeros((self.size, self.size, 3), dtype=img.dtype)
         canvas[:nh, :nw] = resized
         annot = sample["annot"].copy()
         if len(annot):
@@ -105,7 +110,10 @@ class PhotometricAugmenter:
         self.rng = rng or np.random.RandomState()
 
     def __call__(self, sample: dict) -> dict:
+        was_uint8 = sample["img"].dtype == np.uint8  # device-normalize path
         img = sample["img"].astype(np.float32)
+        if was_uint8:
+            img /= 255.0
         r = self.rng
         if r.rand() < self.prob:
             img = img * (1.0 + r.uniform(-self.contrast, self.contrast))
@@ -114,7 +122,10 @@ class PhotometricAugmenter:
             img = np.clip(img, 0.0, 1.0) ** r.uniform(*self.gamma)
         if r.rand() < self.prob:
             img = img + r.uniform(-self.shift, self.shift, size=(1, 1, 3))
-        return {**sample, "img": np.clip(img, 0.0, 1.0)}
+        img = np.clip(img, 0.0, 1.0)
+        if was_uint8:
+            img = np.round(img * 255.0).astype(np.uint8)
+        return {**sample, "img": img}
 
 
 def pad_annotations(annots: Sequence[np.ndarray], max_boxes: int) -> np.ndarray:
@@ -134,10 +145,22 @@ def pad_annotations(annots: Sequence[np.ndarray], max_boxes: int) -> np.ndarray:
     return batch
 
 
-def collate(samples: Sequence[dict], max_boxes: int = 100) -> dict:
+def collate(samples: Sequence[dict], max_boxes: int = 100,
+            uint8_images: bool = False) -> dict:
     """Batch samples -> {'images': (B,S,S,3) f32, 'annotations': (B,M,5) f32,
-    'scales': (B,) f32} with static shapes."""
-    images = np.stack([s["img"] for s in samples]).astype(np.float32)
+    'scales': (B,) f32} with static shapes.
+
+    ``uint8_images=True`` emits the image batch as uint8 [0, 255] (for the
+    device-normalize path): float [0,1] samples are re-quantized (lossless
+    for 8-bit decodes), uint8 samples pass through untouched."""
+    imgs = [s["img"] for s in samples]
+    if uint8_images:
+        imgs = [i if i.dtype == np.uint8
+                else np.round(np.asarray(i, np.float32) * 255.0
+                              ).astype(np.uint8) for i in imgs]
+        images = np.stack(imgs)
+    else:
+        images = np.stack(imgs).astype(np.float32)
     annotations = pad_annotations([s["annot"] for s in samples], max_boxes)
     scales = np.array([s.get("scale", 1.0) for s in samples], dtype=np.float32)
     return {"images": images, "annotations": annotations, "scales": scales}
@@ -145,14 +168,23 @@ def collate(samples: Sequence[dict], max_boxes: int = 100) -> dict:
 
 def train_transforms(size: int, flip_prob: float = 0.5,
                      photometric: bool = False,
-                     seed: Optional[int] = None) -> Compose:
+                     seed: Optional[int] = None,
+                     device_normalize: bool = False) -> Compose:
+    """`device_normalize=True` omits the host Normalizer: images flow
+    through flip/resize un-normalized (uint8 or [0,1] float) and the jitted
+    step normalizes on device (train_lib.maybe_normalize_images keys off the
+    uint8 dtype). Collated uint8 batches are 4x smaller on the host->device
+    link — the big lever on tunneled/PCIe-bound rigs."""
     rng = np.random.RandomState(seed)
     ts: List[Callable] = []
     if photometric:
         ts.append(PhotometricAugmenter(rng=rng))
-    ts += [Normalizer(), Augmenter(flip_prob, rng=rng), Resizer(size)]
+    ts += [] if device_normalize else [Normalizer()]
+    ts += [Augmenter(flip_prob, rng=rng), Resizer(size)]
     return Compose(ts)
 
 
-def eval_transforms(size: int) -> Compose:
+def eval_transforms(size: int, device_normalize: bool = False) -> Compose:
+    if device_normalize:
+        return Compose([Resizer(size)])
     return Compose([Normalizer(), Resizer(size)])

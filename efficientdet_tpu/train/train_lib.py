@@ -34,6 +34,24 @@ from ..models.detector import (EfficientDet, anchors_for_model,
                                postprocess_from_scores)
 
 
+def maybe_normalize_images(images: jnp.ndarray) -> jnp.ndarray:
+    """Normalize uint8 [0, 255] image batches on device; pass floats through.
+
+    The device-normalize input path: the loader ships raw uint8 pixels (4x
+    less host->device traffic than normalized f32 — decisive on tunneled or
+    PCIe-bound hosts) and the jitted step applies the exact host Normalizer
+    math ((x/255 - mean)/std, data/transforms.py:36-46) on device, where it
+    fuses into the stem conv for free. Keying off the STATIC input dtype
+    makes host/device normalization mutually exclusive by construction —
+    a float input is, by contract, already normalized."""
+    if images.dtype != jnp.uint8:
+        return images
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    x = images.astype(jnp.float32) * (1.0 / 255.0)
+    return (x - IMAGENET_MEAN.reshape(1, 1, 1, 3)) \
+        / IMAGENET_STD.reshape(1, 1, 1, 3)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -166,6 +184,7 @@ def make_train_step(model: EfficientDet, cfg: DetectorConfig
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
+        images = maybe_normalize_images(batch["images"])
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -175,12 +194,12 @@ def make_train_step(model: EfficientDet, cfg: DetectorConfig
                 # sigmoid tensor in HBM (VERDICT r2 weak #1)
                 if bn_mutable:
                     (cls_logits, box_deltas), new_state = model.apply(
-                        variables, batch["images"], True,
+                        variables, images, True,
                         method=EfficientDet.train_forward,
                         rngs={"dropout": step_rng}, mutable=["batch_stats"])
                 else:
                     cls_logits, box_deltas = model.apply(
-                        variables, batch["images"], True,
+                        variables, images, True,
                         method=EfficientDet.train_forward,
                         rngs={"dropout": step_rng})
                     new_state = {}
@@ -221,6 +240,7 @@ def make_eval_step(model: EfficientDet, cfg: DetectorConfig,
     anchors = anchors_for_model(model, cfg)
 
     def eval_step(variables, images):
+        images = maybe_normalize_images(images)
         if fused_backbone:
             from ..models.fused_serving import fused_backbone_forward
             feats = fused_backbone_forward(
@@ -244,7 +264,7 @@ def make_loss_step(model: EfficientDet, cfg: DetectorConfig):
 
     def loss_step(variables, batch):
         cls_logits, box_deltas = model.apply(
-            variables, batch["images"], False,
+            variables, maybe_normalize_images(batch["images"]), False,
             method=EfficientDet.train_forward)
         return detection_loss_from_logits(cls_logits, box_deltas, anchors,
                                           batch["annotations"], cfg)

@@ -125,6 +125,37 @@ def test_dataloader_ram_cache_exact_and_hit(voc_root, monkeypatch):
         DataLoader(ds, batch_size=2, cache="disk")
 
 
+def test_device_normalize_path_matches_host_normalizer():
+    """The uint8 device-normalize input path must reproduce the host
+    Normalizer exactly: collate(uint8) -> maybe_normalize_images ==
+    Normalizer on the same pixels; float batches pass through untouched."""
+    import jax.numpy as jnp
+    from efficientdet_tpu.data.transforms import (Normalizer,
+                                                  train_transforms)
+    from efficientdet_tpu.train import maybe_normalize_images
+
+    rng = np.random.RandomState(3)
+    img8 = rng.randint(0, 256, (32, 32, 3), np.uint8)
+    sample = {"img": img8, "annot": np.zeros((0, 5), np.float32),
+              "scale": 1.0}
+    batch = collate([sample], max_boxes=4, uint8_images=True)
+    assert batch["images"].dtype == np.uint8
+    dev = np.asarray(maybe_normalize_images(jnp.asarray(batch["images"])))
+    host = Normalizer()({"img": img8.astype(np.float32) / 255.0,
+                         "annot": sample["annot"]})["img"]
+    np.testing.assert_allclose(dev[0], host, rtol=0, atol=1e-6)
+
+    f32 = jnp.ones((1, 8, 8, 3), jnp.float32)
+    assert maybe_normalize_images(f32) is f32   # float = already normalized
+
+    # device_normalize transforms: no Normalizer, uint8 survives flip/resize
+    tf = train_transforms(32, flip_prob=1.0, seed=0, device_normalize=True)
+    out = tf({"img": img8, "annot": np.array([[2, 2, 10, 10, 1]], np.float32),
+              "scale": 1.0})
+    assert out["img"].dtype == np.uint8
+    np.testing.assert_array_equal(out["img"], img8[:, ::-1])  # pure flip
+
+
 def test_synthetic_boxes_match_pixels():
     ds = SyntheticDetection(length=2, image_size=64, num_classes=5, seed=3)
     s = ds[0]
