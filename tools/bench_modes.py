@@ -49,6 +49,16 @@ SWEEP = [
     ("fusedmb_d0_b8", "fusedmb", "efficientdet-d0", 8, 5),
     ("infer_d1_b128", "infer", "efficientdet-d1", 128, 10),
     ("infer_d4_b16", "infer", "efficientdet-d4", 16, 10),
+    # batch-throughput curve (VERDICT r3 #5: locate the knee between the
+    # b8 dip and the b128+ plateau)
+    ("infer_d0_b16", "infer", "efficientdet-d0", 16, 10),
+    ("infer_d0_b32", "infer", "efficientdet-d0", 32, 10),
+    ("infer_d0_b64", "infer", "efficientdet-d0", 64, 10),
+    # fused-MBConv validated-bound probes (VERDICT r3 #2): b16 passes ->
+    # FUSED_MAX_BATCH=16; b32 exercises the fence (expected bench_error
+    # with the ValueError message, NOT a device fault)
+    ("fusedmb_d0_b16", "fusedmb", "efficientdet-d0", 16, 5),
+    ("fusedmb_d0_b32", "fusedmb", "efficientdet-d0", 32, 5),
 ]
 
 

@@ -108,9 +108,32 @@ def main():
     p.add_argument("--network", default="efficientdet-d7")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--probes", default="serve,train,train_noremat")
+    p.add_argument("--out", default=None,
+                   help="append results into this JSON artifact (e.g. "
+                        "D7_FEASIBILITY.json), replacing same-probe rows")
     args = p.parse_args()
+    import datetime
+    try:
+        import jax
+        device = str(jax.devices()[0])
+    except Exception as e:
+        device = f"unknown ({e})"
+    rows = []
     for probe in args.probes.split(","):
-        run_probe(probe, args.network, 1, args.iters)
+        row = run_probe(probe, args.network, 1, args.iters)
+        row.update(device=device, date=datetime.date.today().isoformat())
+        rows.append(row)
+    if args.out:
+        records = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                new = {r["probe"] for r in rows}
+                records = [r for r in json.load(f)
+                           if r.get("probe") not in new]
+        records.extend(rows)
+        with open(args.out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {args.out} ({len(records)} probes)")
 
 
 if __name__ == "__main__":
