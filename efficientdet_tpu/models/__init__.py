@@ -2,8 +2,10 @@
 
 from .bifpn import BiFPN, BiFPNModule
 from .classifier import EfficientNetClassifier
-from .detector import (EfficientDet, anchors_for_config, anchors_for_model,
-                       detection_loss, detection_loss_from_logits,
+from .detector import (EfficientDet, anchor_levels_for_model,
+                       anchors_for_config, anchors_for_model,
+                       detection_loss, detection_loss_from_level_logits,
+                       detection_loss_from_logits,
                        postprocess_detections, postprocess_from_scores,
                        pyramid_shapes_for_model)
 from .efficientnet import (EfficientNetFeatures, MBConvBlock,
@@ -13,8 +15,10 @@ from .simple_head import ClassificationSubnet, RegressionSubnet
 
 __all__ = [
     "BiFPN", "BiFPNModule", "EfficientNetClassifier",
-    "EfficientDet", "anchors_for_config", "anchors_for_model",
-    "detection_loss", "detection_loss_from_logits",
+    "EfficientDet", "anchor_levels_for_model", "anchors_for_config",
+    "anchors_for_model",
+    "detection_loss", "detection_loss_from_level_logits",
+    "detection_loss_from_logits",
     "postprocess_detections", "postprocess_from_scores",
     "pyramid_shapes_for_model",
     "EfficientNetFeatures", "MBConvBlock", "backbone_feature_channels",

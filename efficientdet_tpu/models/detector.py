@@ -81,6 +81,21 @@ class EfficientDet(nn.Module):
         pyramid = self.neck(features[-5:])
         return self.head(pyramid, return_logits=True)
 
+    def train_forward_levels(self, images: jnp.ndarray, train: bool = True):
+        """Per-level training forward: (cls_logits_levels, box_delta_levels)
+        — lists of (B, A_l, num_classes)/(B, A_l, 4) in the compute dtype,
+        one entry per pyramid level, NOT concatenated.
+
+        Pairs with ``detection_loss_from_level_logits``: identical numbers
+        to ``train_forward`` + ``detection_loss_from_logits``, but the
+        (B, A_total, C) concatenation — whose tiled-layout relayout copies
+        and dynamic-update-slices cost ~10 ms of the 168 ms D0@512 b64 step
+        on v5e — never materializes (docs/DESIGN.md train-profile table).
+        """
+        features = self.backbone(images.astype(self.dtype), train)
+        pyramid = self.neck(features[-5:])
+        return self.head(pyramid, return_logits=True, per_level=True)
+
     def extract_features(self, images: jnp.ndarray,
                          train: bool = False) -> List[jnp.ndarray]:
         """Backbone+neck pyramid (reference extract_feat, efficientdet.py:94-100)."""
@@ -162,6 +177,24 @@ def anchors_for_model(model: "EfficientDet", cfg: DetectorConfig
         tuple(cfg.anchor_scales)))
 
 
+def anchor_levels_for_model(model: "EfficientDet", cfg: DetectorConfig
+                            ) -> List[jnp.ndarray]:
+    """Per-level anchor constants [(A_l, 4), ...] matching the model's
+    actual head grids — ``anchors_for_model`` split at the level
+    boundaries, for the per-level training path."""
+    cfg = cfg.resolve()
+    shapes = pyramid_shapes_for_model(model, cfg)
+    anchors = anchors_for_model(model, cfg)
+    per_cell = cfg.num_anchors_per_cell
+    out, start = [], 0
+    for (h, w) in shapes:
+        n = h * w * per_cell
+        out.append(anchors[start:start + n])
+        start += n
+    assert start == anchors.shape[0]
+    return out
+
+
 def detection_loss(cls_probs: jnp.ndarray, box_deltas: jnp.ndarray,
                    anchors: jnp.ndarray, annotations: jnp.ndarray,
                    cfg: DetectorConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -180,6 +213,19 @@ def detection_loss_from_logits(cls_logits: jnp.ndarray,
     focal_loss_from_logits)."""
     return loss_ops.focal_loss_from_logits(
         cls_logits, box_deltas, anchors, annotations,
+        alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)
+
+
+def detection_loss_from_level_logits(cls_levels, reg_levels, anchor_levels,
+                                     annotations: jnp.ndarray,
+                                     cfg: DetectorConfig
+                                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cls_loss, reg_loss) from ``train_forward_levels`` outputs — the
+    bandwidth-minimal training objective: same numbers as
+    ``detection_loss_from_logits`` without the (B, A_total, C) concat
+    (see ops/losses.py focal_loss_from_level_logits)."""
+    return loss_ops.focal_loss_from_level_logits(
+        cls_levels, reg_levels, anchor_levels, annotations,
         alpha=cfg.focal_alpha, gamma=cfg.focal_gamma)
 
 

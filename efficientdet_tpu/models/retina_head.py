@@ -54,7 +54,8 @@ class RetinaHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray],
                  reduce_classes: bool = False,
-                 return_logits: bool = False):
+                 return_logits: bool = False,
+                 per_level: bool = False):
         normal01 = nn.initializers.normal(stddev=0.01)
         cls_convs = [ConvSame(self.feat_channels, 3, torch_padding=1,
                               dtype=self.dtype, kernel_init=normal01,
@@ -109,6 +110,16 @@ class RetinaHead(nn.Module):
                 cls = jax.nn.sigmoid(logits)
                 cls_outs.append(cls.reshape(b, -1, self.num_classes))
             reg_outs.append(retina_reg(reg_feat).reshape(b, -1, 4))
+        if per_level:
+            # Training hot path (losses.focal_loss_from_level_logits):
+            # return the per-level lists [(B, A_l, C)], [(B, A_l, 4)]
+            # unconcatenated. The cross-level concat of the default path
+            # forces per-level relayout copies plus dynamic-update-slices
+            # forward and slices backward (XLA "data formatting") that the
+            # per-level loss never needs — the loss decomposes exactly over
+            # pyramid levels (ops/losses.py _per_image_logit_sums).
+            assert return_logits and not reduce_classes
+            return cls_outs, reg_outs
         reg = jnp.concatenate(reg_outs, axis=1)
         if reduce_classes:
             max_logits = jnp.concatenate(cls_outs, axis=1).astype(jnp.float32)

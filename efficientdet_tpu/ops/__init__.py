@@ -5,7 +5,8 @@ from .anchors import (anchors_for_image_size, feature_shapes,
                       shift_anchors)
 from .boxes import (BOX_STD, clip_boxes, decode_boxes, encode_boxes,
                     pairwise_iou)
-from .losses import focal_loss, focal_loss_from_logits
+from .losses import (focal_loss, focal_loss_from_level_logits,
+                     focal_loss_from_logits)
 from .nms import (Detections, batched_nms, batched_nms_from_deltas,
                   batched_nms_from_scores, greedy_suppression_mask,
                   select_and_suppress)
@@ -17,6 +18,7 @@ __all__ = [
     "num_anchors_for_image_size", "shift_anchors",
     "BOX_STD", "clip_boxes", "decode_boxes", "encode_boxes", "pairwise_iou",
     "focal_loss",
+    "focal_loss_from_level_logits",
     "focal_loss_from_logits",
     "Detections", "batched_nms", "batched_nms_from_deltas",
     "batched_nms_from_scores", "greedy_suppression_mask",

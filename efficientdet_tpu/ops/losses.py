@@ -130,17 +130,25 @@ def _per_image_losses(cls_probs: jnp.ndarray,      # (A, C) sigmoid probabilitie
     return cls_loss * has_gt, reg_loss * has_gt
 
 
-def _per_image_losses_from_logits(
+def _per_image_logit_sums(
         cls_logits: jnp.ndarray,     # (A, C) pre-sigmoid, any float dtype
         reg_preds: jnp.ndarray,      # (A, 4)
         anchors: jnp.ndarray,        # (A, 4)
         annotations: jnp.ndarray,    # (M, 5), -1 padded
         alpha: float,
-        gamma: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Logits-form focal loss — the TRAINING hot path.
+        gamma: float) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """UNNORMALIZED logits-form focal/smooth-L1 partial sums for one image
+    over one set of anchors -> (cls_sum, reg_sum, num_positive).
 
-    Same assignment/normalization semantics as ``_per_image_losses`` but the
-    focal BCE is expressed directly on logits:
+    Anchor assignment is independent per anchor and the reference normalizes
+    per IMAGE (sum / num_positives, losses.py:104,148), so the loss
+    decomposes exactly over any partition of the anchor set — in particular
+    over pyramid levels, which is the training hot path
+    (``focal_loss_from_level_logits``): summing per level and normalizing
+    once reproduces the concatenated computation bit-for-bit up to fp
+    reassociation.
+
+    The focal BCE is expressed directly on logits:
 
         z        = t ? x : -x          (flip sign for the negative class)
         log(p_t) = log_sigmoid(z) = -softplus(-z)
@@ -162,7 +170,7 @@ def _per_image_losses_from_logits(
     """
     num_classes = cls_logits.shape[-1]
     (is_pos_class, attend, positive, num_positive, matched_gt,
-     has_gt_b) = _match_anchors(anchors, annotations, num_classes)
+     _) = _match_anchors(anchors, annotations, num_classes)
 
     x = cls_logits.astype(jnp.float32)
     z = jnp.where(is_pos_class, x, -x)
@@ -176,15 +184,32 @@ def _per_image_losses_from_logits(
         focal = one_minus_pt ** gamma
     alpha_factor = jnp.where(is_pos_class, alpha, 1.0 - alpha)
     cls_elem = alpha_factor * focal * jax.nn.softplus(neg_z)
-    cls_loss = jnp.where(attend[:, None], cls_elem, 0.0)
-    cls_loss = jnp.sum(cls_loss) / jnp.maximum(
-        num_positive.astype(jnp.float32), 1.0)
+    cls_sum = jnp.sum(jnp.where(attend[:, None], cls_elem, 0.0))
 
     reg_targets = box_ops.encode_boxes(anchors, matched_gt)
-    reg_loss = _smooth_l1(reg_preds.astype(jnp.float32), reg_targets,
-                          positive, num_positive)
+    diff = jnp.abs(reg_targets - reg_preds.astype(jnp.float32))
+    beta = 1.0 / 9.0
+    smooth_l1 = jnp.where(diff <= beta, 0.5 * 9.0 * diff ** 2,
+                          diff - 0.5 * beta)
+    reg_sum = jnp.sum(smooth_l1 * positive.astype(jnp.float32)[:, None])
+    return cls_sum, reg_sum, num_positive
 
-    has_gt = has_gt_b.astype(cls_loss.dtype)
+
+def _per_image_losses_from_logits(
+        cls_logits: jnp.ndarray,     # (A, C) pre-sigmoid, any float dtype
+        reg_preds: jnp.ndarray,      # (A, 4)
+        anchors: jnp.ndarray,        # (A, 4)
+        annotations: jnp.ndarray,    # (M, 5), -1 padded
+        alpha: float,
+        gamma: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Logits-form focal loss over the full anchor set — normalized
+    (cls_loss, reg_loss) for one image. See ``_per_image_logit_sums``."""
+    cls_sum, reg_sum, num_positive = _per_image_logit_sums(
+        cls_logits, reg_preds, anchors, annotations, alpha, gamma)
+    pos_f = num_positive.astype(jnp.float32)
+    cls_loss = cls_sum / jnp.maximum(pos_f, 1.0)
+    reg_loss = reg_sum / jnp.maximum(4.0 * pos_f, 1.0)
+    has_gt = jnp.any(annotations[:, 4] != -1).astype(cls_loss.dtype)
     return cls_loss * has_gt, reg_loss * has_gt
 
 
@@ -208,11 +233,49 @@ def focal_loss_from_logits(cls_logits: jnp.ndarray,  # (B, A, C), bf16 ok
                            alpha: float = 0.25,
                            gamma: float = 2.0
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched logits-form detection loss (the training hot path); see
-    ``_per_image_losses_from_logits`` for why this beats the probability
-    form on TPU."""
+    """Batched logits-form detection loss on CONCATENATED (B, A, C) head
+    outputs; see ``_per_image_losses_from_logits``. Prefer
+    ``focal_loss_from_level_logits`` in the train step — identical numbers
+    without ever materializing the concatenated tensor."""
     cls_l, reg_l = jax.vmap(
         lambda c, r, a: _per_image_losses_from_logits(
             c, r, anchors, a, alpha, gamma)
     )(cls_logits, reg_preds, annotations)
     return jnp.mean(cls_l), jnp.mean(reg_l)
+
+
+def focal_loss_from_level_logits(
+        cls_levels,                  # list of (B, A_l, C) pre-sigmoid
+        reg_levels,                  # list of (B, A_l, 4)
+        anchor_levels,               # list of (A_l, 4)
+        annotations: jnp.ndarray,    # (B, M, 5), -1 padded
+        alpha: float = 0.25,
+        gamma: float = 2.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched detection loss on PER-LEVEL head outputs — the training hot
+    path.
+
+    Numerically identical to ``focal_loss_from_logits`` on the concatenated
+    tensors (anchor assignment is per-anchor independent; normalization is
+    per image — see ``_per_image_logit_sums``), but the (B, A_total, C)
+    concatenation never exists: each level's logits are consumed in the
+    head conv's native layout. On v5e at D0@512 b64/80-class the concat
+    machinery (per-level tiled-layout relayout copies + dynamic-update-slice
+    forward, slices backward: XLA "data formatting") costs ~10 ms of a
+    168 ms step — this formulation eliminates it (tools/profile_step.py,
+    docs/DESIGN.md train-profile table).
+    """
+    cls_sums, reg_sums, pos_counts = 0.0, 0.0, 0
+    for cls_l, reg_l, anchors_l in zip(cls_levels, reg_levels, anchor_levels):
+        c, r, p = jax.vmap(
+            lambda c_, r_, a_, al=anchors_l: _per_image_logit_sums(
+                c_, r_, al, a_, alpha, gamma)
+        )(cls_l, reg_l, annotations)
+        cls_sums = cls_sums + c
+        reg_sums = reg_sums + r
+        pos_counts = pos_counts + p
+    pos_f = pos_counts.astype(jnp.float32)
+    cls_loss = cls_sums / jnp.maximum(pos_f, 1.0)
+    reg_loss = reg_sums / jnp.maximum(4.0 * pos_f, 1.0)
+    has_gt = jnp.any(annotations[:, :, 4] != -1, axis=1)
+    has_gt = has_gt.astype(cls_loss.dtype)
+    return jnp.mean(cls_loss * has_gt), jnp.mean(reg_loss * has_gt)

@@ -309,6 +309,32 @@ def test_focal_loss_logits_form_matches_prob_form(seed, empty):
     np.testing.assert_allclose(got_r, exp_r, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("seed,empty", [(0, False), (1, False), (2, True)])
+def test_focal_loss_per_level_matches_concat(seed, empty):
+    """The per-level training hot path (focal_loss_from_level_logits) must
+    reproduce the concatenated formulation exactly: anchor assignment is
+    per-anchor independent and normalization is per image, so partitioning
+    the anchor set by pyramid level is a pure reassociation (ops/losses.py
+    _per_image_logit_sums). This is what lets the train step skip the
+    (B, A_total, C) concat and its relayout copies (~10 ms/step at D0@512
+    b64 on v5e — docs/DESIGN.md train-profile table)."""
+    from efficientdet_tpu.ops import (focal_loss_from_level_logits,
+                                      focal_loss_from_logits)
+    cls, reg, anchors, ann = _random_loss_inputs(seed, empty_image=empty)
+    rng = np.random.RandomState(seed + 200)
+    logits = (rng.randn(*cls.shape) * 2.5).astype(np.float32)
+    # split the 200 anchors into 3 uneven pseudo-levels
+    cuts = [0, 90, 150, 200]
+    lv = lambda x, ax: [jnp.array(np.take(x, np.arange(cuts[i], cuts[i + 1]),
+                                          axis=ax)) for i in range(3)]
+    got_c, got_r = jax.jit(focal_loss_from_level_logits)(
+        lv(logits, 1), lv(reg, 1), lv(anchors, 0), jnp.array(ann))
+    exp_c, exp_r = jax.jit(focal_loss_from_logits)(
+        jnp.array(logits), jnp.array(reg), jnp.array(anchors), jnp.array(ann))
+    np.testing.assert_allclose(got_c, exp_c, rtol=1e-6)
+    np.testing.assert_allclose(got_r, exp_r, rtol=1e-6, atol=1e-8)
+
+
 def test_focal_loss_logits_form_stable_when_saturated():
     """Where the prob form clamps (|logit| > 9.2) the logits form stays
     finite with nonzero gradient — the stability win over the reference's

@@ -32,7 +32,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def parse_device_ops(trace_dir: str):
-    """-> (total_us, {op_name: (us, count)}) from the newest chrome trace."""
+    """-> (total_us, {op_name: (us, count, category)}, {category: us}) from
+    the newest chrome trace. Only events carrying an ``hlo_category`` arg are
+    HLO ops — step markers and whole-module executions (which would
+    double-count the step) are excluded."""
     paths = sorted(glob.glob(
         os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
     if not paths:
@@ -46,12 +49,22 @@ def parse_device_ops(trace_dir: str):
             proc_names[e["pid"]] = e["args"].get("name", "")
     dur = collections.defaultdict(float)
     cnt = collections.Counter()
+    cat = {}
+    by_cat = collections.defaultdict(float)
     for e in events:
         pname = proc_names.get(e.get("pid"), "")
-        if e.get("ph") == "X" and ("TPU" in pname or "/device" in pname):
-            dur[e["name"]] += e.get("dur", 0)
-            cnt[e["name"]] += 1
-    return sum(dur.values()), {n: (d, cnt[n]) for n, d in dur.items()}
+        if e.get("ph") != "X" or not ("TPU" in pname or "/device" in pname):
+            continue
+        c = e.get("args", {}).get("hlo_category")
+        if c is None:
+            continue
+        dur[e["name"]] += e.get("dur", 0)
+        cnt[e["name"]] += 1
+        cat[e["name"]] = c
+        by_cat[c] += e.get("dur", 0)
+    return (sum(dur.values()),
+            {n: (d, cnt[n], cat[n]) for n, d in dur.items()},
+            dict(by_cat))
 
 
 def main():
@@ -119,7 +132,7 @@ def main():
         jax.block_until_ready(out)
         jax.profiler.stop_trace()
 
-    total_us, ops = parse_device_ops(args.trace_dir)
+    total_us, ops, by_cat = parse_device_ops(args.trace_dir)
     it = args.iters
     if not ops:
         print("note: no device-side ops in the trace — per-op attribution "
@@ -127,15 +140,16 @@ def main():
               f"written to {args.trace_dir} for tensorboard")
     print(f"# {args.network} {args.mode} batch={args.batch} "
           f"iters={it} — device op time {total_us / it / 1e3:.2f} ms/step")
-    print(f"{'ms/step':>9}  {'calls':>5}  op")
+    print("# by hlo_category:")
+    for c, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"{us / it / 1e3:9.3f}  {100 * us / max(total_us, 1):5.1f}%  {c}")
+    print(f"# top ops:\n{'ms/step':>9}  {'calls':>5}  op")
     shown = 0.0
-    for name, (us, n) in sorted(ops.items(), key=lambda kv: -kv[1][0]):
-        if name.startswith("jit_"):
-            continue
+    for name, (us, n, c) in sorted(ops.items(), key=lambda kv: -kv[1][0]):
         if shown >= args.top:
             break
         shown += 1
-        print(f"{us / it / 1e3:9.3f}  {n // it:5d}  {name[:90]}")
+        print(f"{us / it / 1e3:9.3f}  {n // it:5d}  [{c}] {name[:80]}")
 
 
 if __name__ == "__main__":
