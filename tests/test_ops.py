@@ -374,6 +374,56 @@ def test_focal_loss_logits_accepts_bf16():
     np.testing.assert_allclose(float(r16), float(r32), rtol=2e-2, atol=1e-4)
 
 
+@pytest.mark.parametrize("seed,empty", [(0, False), (2, True)])
+def test_focal_logits_analytic_grad_matches_autodiff(seed, empty):
+    """The custom_vjp analytic backward of the logits-form classification
+    term (ops/losses.py::_focal_cls_sum) must equal plain autodiff of an
+    independent formulation: the probability-form loss composed with
+    sigmoid. With |logit| < 9.2 the probability form's clip(1e-4) is
+    inactive, so the two are the same mathematical function and autodiff
+    of the composition is an oracle for the hand-derived
+    d/dz = -alpha_t * s^gamma * (gamma*(1-s)*softplus(-z) + s)."""
+    from efficientdet_tpu.ops import focal_loss_from_logits
+    cls, reg, anchors, ann = _random_loss_inputs(seed, empty_image=empty)
+    rng = np.random.RandomState(seed + 300)
+    # keep |x| < 8 so the oracle's clip(1e-4) really is inactive (doc above)
+    logits = np.clip(rng.randn(*cls.shape) * 2.5, -8.0, 8.0).astype(np.float32)
+
+    def total_custom(x):
+        lc, _ = focal_loss_from_logits(x, jnp.array(reg), jnp.array(anchors),
+                                       jnp.array(ann))
+        return lc
+
+    def total_oracle(x):
+        lc, _ = focal_loss(jax.nn.sigmoid(x), jnp.array(reg),
+                           jnp.array(anchors), jnp.array(ann))
+        return lc
+
+    g_custom = jax.jit(jax.grad(total_custom))(jnp.array(logits))
+    g_oracle = jax.jit(jax.grad(total_oracle))(jnp.array(logits))
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_oracle),
+                               rtol=5e-4, atol=1e-7)
+
+
+def test_focal_logits_grad_preserves_bf16_dtype():
+    """The custom_vjp backward must hand XLA a cotangent in the logits'
+    own dtype (bf16 on the training path), or the whole backward head
+    silently upcasts to f32 and doubles its HBM traffic."""
+    from efficientdet_tpu.ops import focal_loss_from_logits
+    cls, reg, anchors, ann = _random_loss_inputs(1)
+    rng = np.random.RandomState(11)
+    logits = jnp.array((rng.randn(*cls.shape) * 2.0), dtype=jnp.bfloat16)
+
+    def total(x):
+        lc, lr = focal_loss_from_logits(x, jnp.array(reg), jnp.array(anchors),
+                                        jnp.array(ann))
+        return lc + lr
+
+    g = jax.grad(total)(logits)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, dtype=np.float32)).all()
+
+
 def test_focal_loss_differentiable():
     cls, reg, anchors, ann = _random_loss_inputs(4)
 
