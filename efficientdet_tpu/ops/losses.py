@@ -79,13 +79,17 @@ def _match_anchors(anchors: jnp.ndarray,       # (A, 4)
             assigned_label)
 
 
+def _smooth_l1_elem(diff: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalized elementwise smooth-L1, beta=1/9 (reference
+    losses.py:141-145) — shared by the probability- and logits-form paths."""
+    beta = 1.0 / 9.0
+    return jnp.where(diff <= beta, 0.5 * 9.0 * diff ** 2, diff - 0.5 * beta)
+
+
 def _smooth_l1(reg_preds: jnp.ndarray, reg_targets: jnp.ndarray,
                positive: jnp.ndarray, num_positive: jnp.ndarray
                ) -> jnp.ndarray:
-    diff = jnp.abs(reg_targets - reg_preds)
-    beta = 1.0 / 9.0
-    smooth_l1 = jnp.where(diff <= beta, 0.5 * 9.0 * diff ** 2,
-                          diff - 0.5 * beta)
+    smooth_l1 = _smooth_l1_elem(jnp.abs(reg_targets - reg_preds))
     pos_f = positive.astype(smooth_l1.dtype)[:, None]
     return jnp.sum(smooth_l1 * pos_f) / jnp.maximum(
         4.0 * num_positive.astype(smooth_l1.dtype), 1.0)
@@ -180,6 +184,13 @@ def _focal_cls_sum(cls_logits: jnp.ndarray,     # (A, C) pre-sigmoid
     (derivation: ds/dz = -s(1-s), dsp/dz = -s, product rule on s^gamma*sp).
     Reference semantics unchanged from losses.py:86-104 (verified against
     the p_t-form and by finite differences in tests/test_ops.py).
+
+    CONSTRAINT: ``jax.custom_vjp`` makes this reverse-mode-only — jax.jvp /
+    jax.jacfwd / forward-over-reverse HVPs through the training loss will
+    raise. Training only needs grad (reverse); if forward-mode is ever
+    required, switch to ``jax.custom_jvp`` (the closed form above transposes
+    directly) or fall back to ``focal_loss`` / ``focal_loss_from_logits``,
+    which remain plain-autodiff.
     """
     _, _, focal, sp, alpha_t = _focal_elem_terms(
         cls_logits, assigned_label, positive, alpha, gamma)
@@ -253,10 +264,8 @@ def _per_image_logit_sums(
                              alpha, gamma)
 
     reg_targets = box_ops.encode_boxes(anchors, matched_gt)
-    diff = jnp.abs(reg_targets - reg_preds.astype(jnp.float32))
-    beta = 1.0 / 9.0
-    smooth_l1 = jnp.where(diff <= beta, 0.5 * 9.0 * diff ** 2,
-                          diff - 0.5 * beta)
+    smooth_l1 = _smooth_l1_elem(
+        jnp.abs(reg_targets - reg_preds.astype(jnp.float32)))
     reg_sum = jnp.sum(smooth_l1 * positive.astype(jnp.float32)[:, None])
     return cls_sum, reg_sum, num_positive
 
@@ -330,6 +339,12 @@ def focal_loss_from_level_logits(
     168 ms step — this formulation eliminates it (tools/profile_step.py,
     docs/DESIGN.md train-profile table).
     """
+    if not (len(cls_levels) == len(reg_levels) == len(anchor_levels)):
+        raise ValueError(
+            "focal_loss_from_level_logits: per-level lists must align — got "
+            f"{len(cls_levels)} cls / {len(reg_levels)} reg / "
+            f"{len(anchor_levels)} anchor levels (a silent zip would drop "
+            "the extra levels from the loss)")
     cls_sums, reg_sums, pos_counts = 0.0, 0.0, 0
     for cls_l, reg_l, anchors_l in zip(cls_levels, reg_levels, anchor_levels):
         c, r, p = jax.vmap(
