@@ -33,13 +33,15 @@ from ..ops.padding import same_padding
 
 Dtype = Any
 
-# Largest batch the fused Pallas path has been validated at on real v5e
-# hardware (BENCH_MODES.json fusedmb rows). Beyond it the Mosaic grid
-# trips an uninspectable `UNAVAILABLE: TPU device error` kernel fault at
-# warmup (first seen at b128/b256, round 3), which would take down the
-# caller's device — so the fence below fails FAST on the host instead.
-# Raise this only with a fresh on-chip validation run at the new batch.
-FUSED_MAX_BATCH = 16
+# Largest batch the fused Pallas path has a GREEN on-chip run at on real
+# v5e hardware: b8 (BENCH_MODES.json `fusedmb_d0_b8`, 434.8 img/s). Every
+# larger batch probed — b16, b128, b256 — trips an uninspectable
+# `UNAVAILABLE: TPU device error` Mosaic kernel fault at warmup
+# (BENCH_MODES.json `fusedmb_d0_b16` 2026-08-20, `fusedmb_d0_b{128,256}`
+# 2026-08-19), which would take down the caller's device — so the fence
+# below fails FAST on the host instead. Raise this only with a fresh
+# on-chip validation run at the new batch.
+FUSED_MAX_BATCH = 8
 
 
 def _conv(x, kernel, stride, nominal, groups=1, bias=None):

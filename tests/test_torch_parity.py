@@ -268,3 +268,34 @@ def test_export_roundtrip_full_model(torch_d0, jax_d0):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_reg), ref_reg, rtol=1e-3,
                                atol=1e-4)
+
+
+def test_train_cli_pretrained_backbone_flag(ref_modules, tmp_path):
+    """`train.py --pretrained_backbone blob.pth` must route the blob through
+    ``load_pretrained_backbone`` before training starts — the reference's
+    from_pretrained -> train flow (models/utils.py:317-328, train.py:62-66).
+    Uses a schema-identical local fixture blob (no egress) and --num_epoch 0
+    so only the init + import path runs."""
+    import os
+    import subprocess
+    import sys
+    effnet, _, _ = ref_modules
+    torch.manual_seed(11)
+    ref = effnet.EfficientNet.from_name("efficientnet-b0")
+    ref.eval()
+    blob = tmp_path / "efficientnet-b0-fixture.pth"
+    torch.save(ref.state_dict(), str(blob))
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "train.py"),
+         "--dataset", "synthetic", "--synthetic_length", "4",
+         "--batch_size", "2", "--input_size", str(SIZE),
+         "--num_epoch", "0", "--platform", "cpu", "--num_devices", "1",
+         "--pretrained_backbone", str(blob),
+         "--save_folder", str(tmp_path / "w")],
+        capture_output=True, text=True, timeout=900, cwd=root, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "initialized efficientnet-b0 backbone from" in proc.stdout, \
+        proc.stdout[-2000:]

@@ -54,9 +54,11 @@ SWEEP = [
     ("infer_d0_b16", "infer", "efficientdet-d0", 16, 10),
     ("infer_d0_b32", "infer", "efficientdet-d0", 32, 10),
     ("infer_d0_b64", "infer", "efficientdet-d0", 64, 10),
-    # fused-MBConv validated-bound probes (VERDICT r3 #2): b16 passes ->
-    # FUSED_MAX_BATCH=16; b32 exercises the fence (expected bench_error
-    # with the ValueError message, NOT a device fault)
+    # fused-MBConv validated-bound probes (VERDICT r3 #2 / r4 #2): the b16
+    # probe FAULTED on chip (2026-08-20), so FUSED_MAX_BATCH was lowered to
+    # 8 — the largest green batch. Both probes below now exercise the host
+    # fence (expected bench_error with the ValueError message, NOT a
+    # device fault).
     ("fusedmb_d0_b16", "fusedmb", "efficientdet-d0", 16, 5),
     ("fusedmb_d0_b32", "fusedmb", "efficientdet-d0", 32, 5),
 ]

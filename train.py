@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--grad_clip_norm", type=float, default=0.1)
     p.add_argument("--input_size", type=int, default=None)
     p.add_argument("--max_boxes", type=int, default=100)
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="ImageNet EfficientNet .pth to initialize the "
+                        "backbone from (reference models/utils.py:317-328): "
+                        "a local blob path, or 'download' to fetch the "
+                        "published URL_MAP blob (needs network egress)")
     p.add_argument("--resume", default=None,
                    help="checkpoint dir (or reference .pth) to resume from")
     p.add_argument("--save_folder", default="./saved/weights/")
@@ -225,6 +230,24 @@ def main():
 
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, rng, input_size, opt_cfg)
+    if args.pretrained_backbone:
+        # ImageNet backbone init (reference models/utils.py:317-328). Unlike
+        # the reference — which downloads the blob and then He-reinitializes
+        # every conv over it (efficientdet.py:47-53) — the imported weights
+        # are KEPT (known deviation #1, docs/DESIGN.md). --resume below
+        # still overrides everything it restores.
+        from efficientdet_tpu.utils.pretrained import load_pretrained_backbone
+        variables = {"params": jax.tree.map(np.asarray, state.params),
+                     "batch_stats": jax.tree.map(np.asarray,
+                                                 state.batch_stats)}
+        variables = load_pretrained_backbone(
+            cfg.backbone_name, variables,
+            path=(None if args.pretrained_backbone == "download"
+                  else args.pretrained_backbone))
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"initialized {cfg.backbone_name} backbone from "
+              f"{args.pretrained_backbone}")
     save_dir = os.path.join(args.save_folder, args.dataset, args.network)
 
     start_epoch = 0
