@@ -105,7 +105,7 @@ def main():
     network = os.environ.get("BENCH_NETWORK", "efficientdet-d0")
     # measured v5e throughput for D0@512 with the serving path (packed
     # class reduction + u32-packed top-k + Pallas NMS):
-    # batch 128: 1515, 256: 1536 img/s
+    # batch 128: 1519.6, 256: 1538.9 img/s (BENCH_MODES.json)
     batch = int(os.environ.get(
         "BENCH_BATCH", {"latency": "1", "train": "64"}.get(mode, "256")))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
