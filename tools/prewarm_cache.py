@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
+
+# script lives in tools/ — put the repo root on sys.path (python adds the
+# script's own directory, not the cwd)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # identical env to tests/conftest.py — BEFORE jax import
 os.environ["JAX_PLATFORMS"] = "cpu"
