@@ -54,6 +54,14 @@ SWEEP = [
     ("infer_d0_b16", "infer", "efficientdet-d0", 16, 10),
     ("infer_d0_b32", "infer", "efficientdet-d0", 32, 10),
     ("infer_d0_b64", "infer", "efficientdet-d0", 64, 10),
+    # steady-state variants: _bench_loop blocks ONCE at the end, so the
+    # ~25 ms tunnel RTT inflates per-image time by RTT/(batch*iters) —
+    # 0.63 ms/img at b8/iters5. High-iter rows measure the pipelined
+    # steady state a real serving deployment sees (see DESIGN.md curve).
+    ("infer_d0_b8_i100", "infer", "efficientdet-d0", 8, 100),
+    ("infer_d0_b16_i100", "infer", "efficientdet-d0", 16, 100),
+    ("infer_d0_b32_i50", "infer", "efficientdet-d0", 32, 50),
+    ("infer_d0_b64_i50", "infer", "efficientdet-d0", 64, 50),
     # fused-MBConv validated-bound probes (VERDICT r3 #2 / r4 #2): the b16
     # probe FAULTED on chip (2026-08-20), so FUSED_MAX_BATCH was lowered to
     # 8 — the largest green batch. Both probes below now exercise the host
