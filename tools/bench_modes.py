@@ -58,6 +58,7 @@ SWEEP = [
     # ~25 ms tunnel RTT inflates per-image time by RTT/(batch*iters) —
     # 0.63 ms/img at b8/iters5. High-iter rows measure the pipelined
     # steady state a real serving deployment sees (see DESIGN.md curve).
+    ("train_d0_b64_i50", "train", "efficientdet-d0", 64, 50),
     ("infer_d0_b8_i100", "infer", "efficientdet-d0", 8, 100),
     ("infer_d0_b16_i100", "infer", "efficientdet-d0", 16, 100),
     ("infer_d0_b32_i50", "infer", "efficientdet-d0", 32, 50),
