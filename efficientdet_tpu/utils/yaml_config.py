@@ -30,6 +30,9 @@ class ExperimentConfig:
     seed: int = 42
     bf16: bool = False
     remat: bool = False
+    # ImageNet EfficientNet .pth for backbone init (train.py
+    # --pretrained_backbone; None = the framework's native init)
+    pretrained_backbone: Optional[str] = None
     save_folder: str = "./saved/weights/"
     tensorboard: bool = False
     log_dir: Optional[str] = None

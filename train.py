@@ -121,7 +121,8 @@ def parse_args():
             grad_clip_norm=exp.grad_clip_norm,
             input_size=exp.detector.input_size, max_boxes=exp.max_boxes,
             save_folder=exp.save_folder, bn_mode=exp.detector.bn_mode,
-            bf16=exp.bf16, remat=exp.remat, seed=exp.seed)
+            bf16=exp.bf16, remat=exp.remat, seed=exp.seed,
+            pretrained_backbone=exp.pretrained_backbone)
     return p.parse_args()
 
 
